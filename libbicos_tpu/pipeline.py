@@ -1,0 +1,141 @@
+"""End-to-end BICOS matching pipeline under one ``jax.jit``.
+
+Equivalent of the reference's backend orchestrators (``cpu.cpp:36-159``,
+``cuda.cu:56-524``) — but instead of runtime template dispatch over
+{u8,u16} x {u32,u64,u128,bitset256}, each (shape, dtype, Config) combination
+is a separate XLA specialization; descriptor width is just the static trace
+constant B. The CUDA backend's stream choreography (two substreams for the
+two transforms, ``cuda.cu:85-161``) is unnecessary: both transforms live in
+one jitted program and XLA schedules them.
+
+Output dtype convention follows the CUDA backend (``cuda.cu:457-458``):
+int16 disparity unless subpixel refinement is enabled (then float32 with NaN
+invalid). (The reference CPU backend instead converts to float32 whenever a
+threshold is set, ``cpu.cpp:88-94`` — a documented backend divergence; see
+``pybicos_compat.float_disparity`` for the CPU-flavoured surface.)
+
+``min_variance`` is scaled by the stack size before use, preserving the
+reference quirk (``cpu.cpp:127``, ``cuda.cu:455``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import agree as _agree
+from . import descriptor as _descriptor
+from . import search as _search
+from .config import Config, TransformMode, validate_stack
+
+
+def _validate_inputs(stack0, stack1):
+    if stack0.ndim != 3 or stack1.ndim != 3:
+        raise ValueError("stacks must have shape (n, H, W)")
+    if stack0.shape != stack1.shape:
+        raise ValueError(
+            f"stack shapes differ: {stack0.shape} vs {stack1.shape}"
+        )
+    if stack0.dtype != stack1.dtype:
+        raise ValueError("stack dtypes differ")
+    if stack0.dtype not in (jnp.uint8, jnp.uint16):
+        raise ValueError(
+            "bad input depths, only uint8 and uint16 are supported"
+        )
+
+
+def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
+    n = stack0.shape[0]
+    bits0 = _descriptor.descriptor_bits(stack0, cfg.mode)
+    bits1 = _descriptor.descriptor_bits(stack1, cfg.mode)
+    disp = _search.search(bits0, bits1, cfg.variant, backend=backend)
+
+    if cfg.nxcorr_threshold is None:
+        return disp, None
+
+    minvar = None if cfg.min_variance is None else cfg.min_variance * n
+    if cfg.subpixel_step is not None:
+        out, corr = _agree.agree_subpixel(
+            disp, stack0, stack1, cfg.nxcorr_threshold, cfg.subpixel_step,
+            minvar, cfg.precision,
+        )
+    else:
+        out, corr = _agree.agree_integer(
+            disp, stack0, stack1, cfg.nxcorr_threshold, minvar, cfg.precision,
+        )
+    return out, (corr if want_corrmap else None)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _match_jit(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
+    return _match_impl(stack0, stack1, cfg, want_corrmap, backend)
+
+
+def match(
+    stack0,
+    stack1,
+    cfg: Config = Config(),
+    *,
+    corrmap: bool = False,
+    backend: str = "auto",
+):
+    """Match two multishot stereo stacks (the ``BICOS::match`` equivalent,
+    ``match.hpp:31-41``).
+
+    Args:
+      stack0/stack1: ``(n, H, W)`` uint8 or uint16 rectified image stacks
+        (left, right).
+      cfg: matching configuration (library defaults; see :class:`Config`).
+      corrmap: also return the NXCORR correlation map (float32, NaN where not
+        computed). Requires ``cfg.nxcorr_threshold``.
+      backend: 'auto' | 'pallas' | 'xla' | 'pallas_interpret'.
+
+    Returns:
+      ``disparity`` — (H, W) int16 (INVALID = -32768), or float32 with NaN
+      invalid when ``cfg.subpixel_step`` is set. If ``corrmap`` is True,
+      returns ``(disparity, corrmap)``.
+    """
+    stack0 = jnp.asarray(stack0)
+    stack1 = jnp.asarray(stack1)
+    _validate_inputs(stack0, stack1)
+    validate_stack(stack0.shape[0], cfg.mode)
+    if corrmap and cfg.nxcorr_threshold is None:
+        raise ValueError("corrmap requires cfg.nxcorr_threshold")
+    backend = _search.resolve_backend(backend)
+    disp, corr = _match_jit(stack0, stack1, cfg, corrmap, backend)
+    if corrmap:
+        return disp, corr
+    return disp
+
+
+def match_batched(
+    stacks0,
+    stacks1,
+    cfg: Config = Config(),
+    *,
+    corrmap: bool = False,
+    backend: str = "auto",
+):
+    """Batched matching over ``(batch, n, H, W)`` stacks.
+
+    Capability the reference lacks (its only batching is the caller's loop,
+    SURVEY.md section 2). Because every pipeline stage is row-independent
+    (epipolar geometry), the batch is folded into the row axis — one big
+    kernel launch instead of ``vmap``, which keeps the Pallas search kernel's
+    tiles full.
+    """
+    stacks0 = jnp.asarray(stacks0)
+    stacks1 = jnp.asarray(stacks1)
+    if stacks0.ndim != 4:
+        raise ValueError("batched stacks must have shape (batch, n, H, W)")
+    b, n, h, w = stacks0.shape
+    flat0 = jnp.moveaxis(stacks0, 0, 1).reshape(n, b * h, w)
+    flat1 = jnp.moveaxis(stacks1, 0, 1).reshape(n, b * h, w)
+    out = match(flat0, flat1, cfg, corrmap=corrmap, backend=backend)
+    if corrmap:
+        disp, corr = out
+        return disp.reshape(b, h, w), corr.reshape(b, h, w)
+    return out.reshape(b, h, w)

@@ -1,0 +1,178 @@
+"""Binary correspondence search: per-row Hamming-distance argmin.
+
+Reference semantics (``bicos.hpp:50-113``): for every pixel of the left image,
+scan the *entire* right epipolar row, take the argmin of the Hamming distance
+between descriptors (first occurrence), then
+
+* NoDuplicates: invalidate if the minimum is not unique (``bicos.hpp:63-73``);
+* Consistency: re-search from the best right column back into the left row and
+  accept iff ``|col0 - reverse_col0| <= max_lr_diff``; disparity becomes
+  ``(col0 + reverse_col0) // 2 - best_col1`` (``bicos.hpp:99-107``).
+
+TPU-first design
+----------------
+The serial scan becomes a *reduction over a cost matrix*. Two ideas:
+
+1. **Packed argmin**: reduce ``K*cost + col1`` with a plain ``min`` to get
+   (min cost, first argmin) in one pass, and ``K*cost + (W-1-col1)`` to get the
+   last argmin. The min is unique iff first == last — this replaces the
+   reference's duplicate counter with two cheap min-reductions that tile and
+   shard trivially. K = 32768 keeps every packed value an exact int below
+   2^24, so the fast path can run the reduction in float32 straight out of the
+   MXU.
+
+2. **Hamming-as-matmul** (fast path, ``kernels/hamming.py``): for 0/1 bit
+   planes, ``ham(a, b) = pop(a) + pop(b) - 2 a.b``, so the W x W cost matrix of
+   a row is a ``(W, B) @ (B, W)`` matmul on the MXU.
+
+The consistency variant's reverse search is the transpose of the same cost
+matrix; we evaluate it as a second pass with the operands swapped, which —
+unlike the reference, which re-scans per pixel (``bicos.hpp:100-101``) —
+computes each reverse argmin exactly once per column.
+
+This module holds the always-correct XLA fallback (integer XOR+popcount on
+packed uint32 lanes) plus the variant/decode logic shared with the Pallas
+fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import Consistency, NoDuplicates, SearchVariant
+from .descriptor import pack_bits, popcounts
+
+INVALID_I16 = jnp.int16(-32768)
+
+# Packing constant: packed = K * cost + col. cost <= 256 and col < K, so
+# packed <= 2^23 + 2^15 < 2^24: exact in f32 and comfortably inside int32.
+PACK_K = 32768
+
+
+def _row_chunk_minima(w0, w1, need_last: bool):
+    """Minima for one chunk of rows via direct XOR+popcount (int32 exact).
+
+    w0: (R, W0, nw) uint32, w1: (R, W1, nw) uint32.
+    Returns (mf, ml): packed minima (R, W0) int32; ml is None-like zeros if
+    ``need_last`` is False.
+    """
+    r, wid0, nw = w0.shape
+    wid1 = w1.shape[1]
+    cost = None
+    for k in range(nw):
+        x = w0[:, :, None, k] ^ w1[:, None, :, k]
+        p = jax.lax.population_count(x).astype(jnp.int32)
+        cost = p if cost is None else cost + p
+    col = jnp.arange(wid1, dtype=jnp.int32)
+    pf = cost * PACK_K + col[None, None, :]
+    mf = jnp.min(pf, axis=2)
+    if need_last:
+        pl_ = cost * PACK_K + (wid1 - 1 - col)[None, None, :]
+        ml = jnp.min(pl_, axis=2)
+    else:
+        ml = jnp.zeros_like(mf)
+    return mf, ml
+
+
+def row_minima_xla(
+    bits0, bits1, need_last: bool, row_chunk: int = 8
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Forward search minima of every left pixel against its full right row.
+
+    Args:
+      bits0: (H, W0, B) bool descriptor bit planes (left/query side).
+      bits1: (H, W1, B) bool (right/database side).
+      need_last: also compute the last-occurrence argmin (for NoDuplicates).
+
+    Returns:
+      cost  (H, W0) int32 — minimum Hamming cost,
+      first (H, W0) int32 — first column attaining it,
+      last  (H, W0) int32 or None — last column attaining it.
+    """
+    h, w0, _ = bits0.shape
+    w1 = bits1.shape[1]
+    if max(w0, w1) > PACK_K:
+        raise ValueError(f"image width > {PACK_K} not supported yet")
+    words0 = pack_bits(bits0)
+    words1 = pack_bits(bits1)
+
+    pad = (-h) % row_chunk
+    if pad:
+        words0 = jnp.pad(words0, ((0, pad), (0, 0), (0, 0)))
+        words1 = jnp.pad(words1, ((0, pad), (0, 0), (0, 0)))
+    nchunk = words0.shape[0] // row_chunk
+    w0c = words0.reshape(nchunk, row_chunk, w0, words0.shape[-1])
+    w1c = words1.reshape(nchunk, row_chunk, w1, words1.shape[-1])
+    mf, ml = jax.lax.map(
+        lambda args: _row_chunk_minima(args[0], args[1], need_last),
+        (w0c, w1c),
+    )
+    mf = mf.reshape(-1, w0)[:h]
+    ml = ml.reshape(-1, w0)[:h]
+    cost = mf // PACK_K
+    first = mf - cost * PACK_K
+    if need_last:
+        last = (w1 - 1) - (ml - (ml // PACK_K) * PACK_K)
+    else:
+        last = None
+    return cost, first, last
+
+
+def _row_minima(bits0, bits1, need_last: bool, backend: str):
+    if backend == "pallas":
+        from .kernels.hamming import row_minima_pallas
+
+        return row_minima_pallas(bits0, bits1, need_last=need_last)
+    if backend == "pallas_interpret":
+        from .kernels.hamming import row_minima_pallas
+
+        return row_minima_pallas(bits0, bits1, need_last=need_last,
+                                 interpret=True)
+    return row_minima_xla(bits0, bits1, need_last)
+
+
+def resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    platform = jax.devices()[0].platform
+    return "pallas" if platform == "tpu" else "xla"
+
+
+def search(bits0, bits1, variant: SearchVariant, backend: str = "auto"):
+    """Full correspondence search -> (H, W0) int16 disparity.
+
+    Bit-exact to the reference's integer disparity output (``bicos.hpp:78-113``
+    with INVALID = -32768).
+    """
+    backend = resolve_backend(backend)
+    h, w0, _ = bits0.shape
+    w1 = bits1.shape[1]
+    col0 = jnp.arange(w0, dtype=jnp.int32)[None, :]
+
+    if isinstance(variant, NoDuplicates):
+        _, first, last = _row_minima(bits0, bits1, True, backend)
+        valid = first == last
+        disp = col0 - first
+    else:
+        assert isinstance(variant, Consistency)
+        nodupes = variant.no_dupes
+        _, first0, last0 = _row_minima(bits0, bits1, nodupes, backend)
+        _, first1, last1 = _row_minima(bits1, bits0, nodupes, backend)
+        valid = jnp.ones((h, w0), dtype=bool)
+        rvalid = jnp.ones((h, w1), dtype=bool)
+        if nodupes:
+            valid = first0 == last0
+            rvalid = first1 == last1
+        bc1 = first0
+        rc0 = jnp.take_along_axis(first1, bc1, axis=1)
+        rok = jnp.take_along_axis(rvalid, bc1, axis=1)
+        valid = (
+            valid & rok & (jnp.abs(col0 - rc0) <= jnp.int32(variant.max_lr_diff))
+        )
+        disp = (col0 + rc0) // 2 - bc1
+
+    return jnp.where(valid, disp, jnp.int32(INVALID_I16)).astype(jnp.int16)

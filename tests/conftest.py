@@ -1,0 +1,43 @@
+"""Test configuration: force CPU with an 8-device virtual mesh so sharding
+tests run anywhere (SURVEY.md section 4's multi-host simulation strategy)."""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0x600DF00D)  # reference bench seed
+
+
+def make_stack_pair(rng, n, h, w, dtype=np.uint8, max_disp=None):
+    """Synthetic rectified projected-pattern stack pair with known disparity.
+
+    The right stack is a column-shift of the left by a per-test disparity, so
+    ground truth is known where the shift stays in-bounds.
+    """
+    if max_disp is None:
+        max_disp = max(2, w // 8)
+    hi = np.iinfo(dtype).max
+    wide = w + max_disp
+    pattern = rng.integers(0, hi + 1, size=(n, h, wide)).astype(dtype)
+    disp = int(rng.integers(1, max_disp + 1))
+    # Left sees pattern columns [disp, disp+w), right sees [0, w): a pixel at
+    # left col c matches right col c+disp... i.e. disparity col0-col1 = -disp?
+    # BICOS convention: d = col0 - col1, and left content at col0 equals
+    # right content at col1 = col0 + disp here; flip so disparity is positive:
+    left = pattern[:, :, disp : disp + w]
+    right = pattern[:, :, 0:w]
+    # left[c] == right[c + disp] -> col1 = col0 + disp -> d = -disp.
+    # Swap to make d = +disp (left content shifted the other way):
+    return np.ascontiguousarray(right), np.ascontiguousarray(left), disp

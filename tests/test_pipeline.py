@@ -1,0 +1,105 @@
+"""End-to-end pipeline parity with the oracle + property tests."""
+
+import numpy as np
+import pytest
+
+import libbicos_tpu as bicos
+from libbicos_tpu import _oracle as oracle
+from conftest import make_stack_pair
+
+CONFIGS = [
+    bicos.Config(nxcorr_threshold=None),
+    bicos.Config(nxcorr_threshold=0.5),
+    bicos.Config(nxcorr_threshold=0.5, min_variance=1.0),
+    bicos.Config(nxcorr_threshold=0.4, subpixel_step=0.25),
+    bicos.Config(nxcorr_threshold=None, mode=bicos.TransformMode.FULL),
+    bicos.Config(
+        nxcorr_threshold=0.5,
+        variant=bicos.Consistency(max_lr_diff=1, no_dupes=False),
+    ),
+    bicos.Config(
+        nxcorr_threshold=0.5,
+        subpixel_step=0.5,
+        min_variance=2.0,
+        variant=bicos.Consistency(max_lr_diff=2, no_dupes=True),
+    ),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_match_against_oracle(rng, cfg):
+    n = 6 if cfg.mode == bicos.TransformMode.FULL else 8
+    s0, s1, _ = make_stack_pair(rng, n, 4, 14)
+    want_d, want_c = oracle.match(s0, s1, cfg)
+    if cfg.nxcorr_threshold is None:
+        got_d = bicos.match(s0, s1, cfg, backend="xla")
+        np.testing.assert_array_equal(np.asarray(got_d), want_d)
+        return
+    got_d, got_c = bicos.match(s0, s1, cfg, corrmap=True, backend="xla")
+    got_d, got_c = np.asarray(got_d), np.asarray(got_c)
+    np.testing.assert_allclose(got_c, want_c, rtol=3e-5, atol=3e-5,
+                               equal_nan=True)
+    if cfg.subpixel_step is None:
+        np.testing.assert_array_equal(got_d, want_d)
+    else:
+        both = ~(np.isnan(got_d) | np.isnan(want_d))
+        assert (np.isnan(got_d) == np.isnan(want_d)).mean() > 0.97
+        np.testing.assert_allclose(
+            got_d[both], want_d[both], atol=cfg.subpixel_step + 1e-6
+        )
+
+
+def test_shift_invariance(rng):
+    """Matching a stack against a column-shifted copy recovers the shift."""
+    s0, s1, d = make_stack_pair(rng, 10, 6, 40)
+    disp = np.asarray(bicos.match(s0, s1, bicos.Config(), backend="xla"))
+    interior = disp[:, d:]
+    valid = interior != -32768
+    assert valid.mean() > 0.9
+    np.testing.assert_array_equal(interior[valid], d)
+
+
+def test_match_batched(rng):
+    s0a, s1a, _ = make_stack_pair(rng, 6, 4, 12)
+    s0b, s1b, _ = make_stack_pair(rng, 6, 4, 12)
+    cfg = bicos.Config()
+    batched = np.asarray(
+        bicos.match_batched(
+            np.stack([s0a, s0b]), np.stack([s1a, s1b]), cfg, backend="xla"
+        )
+    )
+    single_a = np.asarray(bicos.match(s0a, s1a, cfg, backend="xla"))
+    single_b = np.asarray(bicos.match(s0b, s1b, cfg, backend="xla"))
+    np.testing.assert_array_equal(batched[0], single_a)
+    np.testing.assert_array_equal(batched[1], single_b)
+
+
+def test_uint16_inputs(rng):
+    s0, s1, _ = make_stack_pair(rng, 8, 4, 12, np.uint16)
+    cfg = bicos.Config(nxcorr_threshold=0.5)
+    want_d, _ = oracle.match(s0, s1, cfg)
+    got_d = np.asarray(bicos.match(s0, s1, cfg, backend="xla"))
+    np.testing.assert_array_equal(got_d, want_d)
+
+
+def test_validation_errors(rng):
+    s0, s1, _ = make_stack_pair(rng, 4, 4, 8)
+    with pytest.raises(ValueError, match="at least two"):
+        bicos.match(s0[:1], s1[:1], bicos.Config())
+    with pytest.raises(ValueError, match="too large"):
+        bicos.match(
+            np.zeros((20, 4, 8), np.uint8),
+            np.zeros((20, 4, 8), np.uint8),
+            bicos.Config(mode=bicos.TransformMode.FULL),
+        )
+    with pytest.raises(ValueError, match="depths"):
+        bicos.match(s0.astype(np.int16), s1.astype(np.int16), bicos.Config())
+    with pytest.raises(ValueError, match="differ"):
+        bicos.match(s0, s1[:, :, :4], bicos.Config())
+
+
+def test_invalid_disparity_helpers():
+    assert bicos.invalid_disparity(np.int16) == -32768
+    assert np.isnan(bicos.invalid_disparity(np.float32))
+    assert bicos.max_stacksize(bicos.TransformMode.LIMITED) == 65
+    assert bicos.max_stacksize(bicos.TransformMode.FULL) == 16
