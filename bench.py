@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""End-to-end benchmark for the TPU-native BICOS engine.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...}
+
+Primary metric: end-to-end ``match`` latency for the reference README's
+headline configuration (README.md:90 — two 33-image stacks, LIMITED mode,
+``--threshold 0.96 --variance 2.0 --step 0.1``) at the reference *bench*
+suite's synthetic resolution 3300x2200 (bench/cuda.cu:44; the real dataset is
+not vendored, data/.MISSING_LARGE_BLOBS). Baseline: ~44 ms on an RTX 4090.
+``vs_baseline`` > 1 means faster than the reference.
+
+Extra per-stage numbers go to stderr; the stdout contract stays one line.
+
+Env overrides: BICOS_BENCH_N, BICOS_BENCH_H, BICOS_BENCH_W,
+BICOS_BENCH_REPS, BICOS_BENCH_BACKEND, BICOS_BENCH_MODE (headline|search).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_E2E_MS = 44.0  # README.md:90 (RTX 4090)
+BASELINE_SEARCH_MP_S = 770.0  # u32 bicos_kernel_smem, BASELINE.md
+
+
+def _timeit(fn, reps):
+    import jax
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times)), times
+
+
+def main():
+    n = int(os.environ.get("BICOS_BENCH_N", "33"))
+    h = int(os.environ.get("BICOS_BENCH_H", "2200"))
+    w = int(os.environ.get("BICOS_BENCH_W", "3300"))
+    reps = int(os.environ.get("BICOS_BENCH_REPS", "5"))
+    backend = os.environ.get("BICOS_BENCH_BACKEND", "auto")
+    mode = os.environ.get("BICOS_BENCH_MODE", "headline")
+
+    import jax
+    import jax.numpy as jnp
+
+    import libbicos_tpu as bicos
+    from libbicos_tpu.io import synthetic_stack_pair
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
+
+    s0, s1, _ = synthetic_stack_pair(n, h, w, dtype=np.uint8)
+    d0 = jnp.asarray(s0)
+    d1 = jnp.asarray(s1)
+    jax.block_until_ready((d0, d1))
+
+    if mode == "search":
+        # Hamming-scan kernel only (vs 770 MP/s RTX 4090 anchor).
+        from libbicos_tpu import descriptor as D
+        from libbicos_tpu import search as S
+
+        cfg = bicos.Config(mode=bicos.TransformMode.LIMITED)
+        bits0 = jax.block_until_ready(
+            jax.jit(lambda s: D.descriptor_bits(s, cfg.mode))(d0))
+        bits1 = jax.block_until_ready(
+            jax.jit(lambda s: D.descriptor_bits(s, cfg.mode))(d1))
+        bk = S.resolve_backend(backend)
+        fn = jax.jit(
+            lambda a, b: S.search(a, b, bicos.NoDuplicates(), backend=bk)
+        )
+        jax.block_until_ready(fn(bits0, bits1))  # compile
+        med, times = _timeit(lambda: fn(bits0, bits1), reps)
+        mps = h * w / 1e6 / (med / 1e3)
+        print(f"search times ms: {[f'{t:.1f}' for t in times]}",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": f"bicos_search_n{n}_{w}x{h}_mps",
+            "value": round(mps, 2),
+            "unit": "MP/s",
+            "vs_baseline": round(mps / BASELINE_SEARCH_MP_S, 4),
+        }))
+        return
+
+    cfg = bicos.Config(
+        nxcorr_threshold=0.96,
+        subpixel_step=0.1,
+        min_variance=2.0,
+        mode=bicos.TransformMode.LIMITED,
+    )
+
+    t0 = time.perf_counter()
+    out = bicos.match(d0, d1, cfg, backend=backend)
+    jax.block_until_ready(out)
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    med, times = _timeit(
+        lambda: bicos.match(d0, d1, cfg, backend=backend), reps
+    )
+    valid = float(np.isfinite(np.asarray(out)).mean())
+    print(f"e2e times ms: {[f'{t:.1f}' for t in times]}; "
+          f"valid-pixel fraction: {valid:.3f}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"e2e_match_n{n}_{w}x{h}_ms",
+        "value": round(med, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_E2E_MS / med, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -149,17 +150,25 @@ def agree_subpixel(
     pa = jnp.float32(0.5) * (y0 - jnp.float32(2.0) * y1 + y2)
     pb = jnp.float32(0.5) * (y2 - y0)
 
-    best_nxc = jnp.full((h, w), -1.0, dtype=dt)
-    best_x = jnp.zeros((h, w), dtype=jnp.float32)
-    for x in subpixel_xgrid(step):
-        xf = jnp.float32(x)
+    # The x sweep runs as a lax.scan so XLA compiles ONE loop body instead of
+    # unrolling ~2/step copies of (n, H, W) temporaries (compile time and
+    # peak-memory win; the reference iterates serially per pixel,
+    # agree.hpp:168-178).
+    xs = jnp.asarray(subpixel_xgrid(step), dtype=jnp.float32)
+
+    def sweep(carry, xf):
+        best_nxc, best_x = carry
         # roundeven + modular cast to the input dtype (agree.hpp:170).
         interp_f = jnp.round(pa * (xf * xf) + pb * xf + y1)
         interp = interp_f.astype(jnp.int32).astype(in_dtype)
         nxc = _nxcorr_from(diff0, var0, interp.astype(dt), minvar, dt)
         upd = best_nxc < nxc  # strict: earliest x of the max wins
         best_nxc = jnp.where(upd, nxc, best_nxc)
-        best_x = jnp.where(upd, jnp.float32(x), best_x)
+        best_x = jnp.where(upd, xf, best_x)
+        return (best_nxc, best_x), None
+
+    init = (jnp.full((h, w), -1.0, dtype=dt), jnp.zeros((h, w), jnp.float32))
+    (best_nxc, best_x), _ = jax.lax.scan(sweep, init, xs)
 
     nxc_border = _nxcorr_from(diff0, var0, y1u.astype(dt), minvar, dt)
 

@@ -1,0 +1,213 @@
+"""``bicos`` command line interface.
+
+Mirrors the reference CLI's flags, defaults and behavior
+(``/root/reference/src/cli.cpp:55-253``) on the TPU engine:
+
+* positional ``folder0 [folder1]`` (two-folder ``N.png`` layout, or
+  single-folder ``N_left.png`` / ``N_right.png``),
+* ``-t/--threshold`` default **0.75** and ``--limited`` off (i.e. mode FULL)
+  — the CLI defaults intentionally differ from the library defaults
+  (cli.cpp:63,137-140 vs common.hpp:74-77),
+* ``--threshold <= 0`` disables NXCORR (cli.cpp:141-142); ``--corrmap``
+  without a threshold forces threshold -1 (cli.cpp:146-149),
+* ``-m/--lr-maxdiff`` selects the Consistency variant, composable with
+  ``--no-dupes`` (cli.cpp:161-166),
+* ``-q/--qmatrix`` + reprojection to an ascii ``.xyz`` pointcloud; the
+  negative-Z filter flag is honored under its *declared* name
+  ``--allow-negative-z`` (the reference declares that flag but queries
+  ``allow-behind`` — a documented upstream bug we fix, cli.cpp:69,231),
+* per-phase latency printout (upload/match/download) like the CUDA CLI
+  (cli.cpp:177-216), with ``block_until_ready`` fencing for honest numbers.
+
+TPU extensions: ``--devices N`` shards rows over a device mesh
+(:func:`libbicos_tpu.sharding.match_sharded`), ``--backend`` selects the
+Pallas or XLA compute path, ``--profile DIR`` captures a ``jax.profiler``
+trace.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from . import io as _io
+from .config import (
+    Config, Consistency, NoDuplicates, Precision, TransformMode,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bicos",
+        description="cli to process images with BICOS (TPU-native engine)",
+    )
+    p.add_argument("folder0", help="First folder containing input images "
+                   "with numbered names.")
+    p.add_argument("folder1", nargs="?", default=None,
+                   help="Optional second folder with input images. If "
+                   "specified, file names need to be 0.png, 1.png... Else, "
+                   "folder0 needs to contain 0_left.png, 0_right.png, "
+                   "1_left.png...")
+    p.add_argument("-t", "--threshold", type=float, default=0.75,
+                   help="Minimum normalized cross correlation for a match "
+                   "to be accepted. Set to 0.0 to disable. (default: 0.75)")
+    p.add_argument("-v", "--variance", type=float, default=1.0,
+                   help="Minimum intensity variance. Only active with "
+                   "--threshold. (default: 1.0)")
+    p.add_argument("-s", "--step", type=float, default=None,
+                   help="Stepsize for subpixel interpolation. Only effective "
+                   "when threshold is set.")
+    p.add_argument("-o", "--out", default="bicosdisp.png",
+                   help="Output file for disparity image. "
+                   "(default: bicosdisp.png)")
+    p.add_argument("-n", "--stacksize", type=int, default=None,
+                   help="Number of images to process. Defaults to all found "
+                   "in the input folders.")
+    p.add_argument("-q", "--qmatrix", default=None,
+                   help="Path to cv::FileStorage with single matrix \"Q\" "
+                   "for reconstructing a pointcloud.")
+    p.add_argument("--allow-negative-z", action="store_true",
+                   help="Allow for points with negative Z values in the "
+                   "pointcloud output. Only effective with a given qmatrix.")
+    p.add_argument("-m", "--lr-maxdiff", type=int, default=None,
+                   help="Maximum disparity difference between left and right "
+                   "image. Enabling this disables duplicate filtering.")
+    p.add_argument("--double", action="store_true",
+                   help="Set double instead of single precision")
+    p.add_argument("--limited", action="store_true",
+                   help="Limit transformation mode. Allows for more images "
+                   "to be used.")
+    p.add_argument("--corrmap", action="store_true",
+                   help="Output map of normalized cross correlation values.")
+    p.add_argument("--no-dupes", action="store_true",
+                   help="Default BICOS variant when --lr-maxdiff is not "
+                   "specified. Can be set together with --lr-maxdiff to "
+                   "activate both.")
+    # TPU-native extensions
+    p.add_argument("--devices", type=int, default=1,
+                   help="Shard rows over this many devices (H-banding).")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "pallas", "xla", "pallas_interpret"],
+                   help="Compute path for the Hamming scan.")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="Capture a jax.profiler trace into DIR.")
+    return p
+
+
+def config_from_args(args) -> Config:
+    """Replicates the reference CLI -> Config mapping (cli.cpp:137-166)."""
+    threshold = args.threshold
+    if threshold is not None and threshold <= 0.0:
+        threshold = None
+    if args.corrmap and threshold is None:
+        threshold = -1.0
+        print(
+            "Computing with nxcorr-threshold of -1.0 because 'corrmap' is "
+            "set",
+            file=sys.stderr,
+        )
+    minvar = args.variance if (args.variance and args.variance > 0) else None
+    if args.lr_maxdiff is not None:
+        variant = Consistency(
+            max_lr_diff=args.lr_maxdiff, no_dupes=args.no_dupes
+        )
+    else:
+        variant = NoDuplicates()
+        if args.no_dupes:
+            print(
+                "'no-dupes' is the default when 'lr-maxdiff' is not set.",
+                file=sys.stderr,
+            )
+    return Config(
+        nxcorr_threshold=threshold,
+        subpixel_step=args.step,
+        min_variance=minvar,
+        mode=TransformMode.LIMITED if args.limited else TransformMode.FULL,
+        precision=Precision.DOUBLE if args.double else Precision.SINGLE,
+        variant=variant,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import match
+    from .sharding import make_mesh, match_sharded
+
+    lstack, rstack = _io.load_stack_pair(
+        args.folder0, args.folder1, args.stacksize
+    )
+    if lstack.shape[0] != rstack.shape[0]:
+        raise SystemExit(
+            f"Left stack: {lstack.shape[0]}, right stack: "
+            f"{rstack.shape[0]} images"
+        )
+    bits = lstack.dtype.itemsize * 8
+    print(f"Loaded {lstack.shape[0] + rstack.shape[0]} {bits}-bit images "
+          "in total")
+
+    cfg = config_from_args(args)
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    tick = time.perf_counter()
+    l_dev = jnp.asarray(lstack)
+    r_dev = jnp.asarray(rstack)
+    jax.block_until_ready((l_dev, r_dev))
+    t_upload = (time.perf_counter() - tick) * 1e3
+    print(f"Latency:\t {t_upload:.2f}ms (upload)\t", end="", flush=True)
+
+    tick = time.perf_counter()
+    if args.devices > 1:
+        mesh = make_mesh(args.devices)
+        out = match_sharded(
+            l_dev, r_dev, cfg, mesh=mesh, corrmap=args.corrmap,
+            backend=args.backend,
+        )
+    else:
+        out = match(
+            l_dev, r_dev, cfg, corrmap=args.corrmap, backend=args.backend
+        )
+    jax.block_until_ready(out)
+    t_match = (time.perf_counter() - tick) * 1e3
+    print(f"{t_match:.2f}ms (match)\t", end="", flush=True)
+
+    tick = time.perf_counter()
+    if args.corrmap:
+        disp, corr = out
+        disp = np.asarray(disp)
+        corr = np.asarray(corr)
+    else:
+        disp = np.asarray(out)
+        corr = None
+    t_down = (time.perf_counter() - tick) * 1e3
+    print(f"{t_down:.2f}ms (download)")
+
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"Saved profiler trace to {args.profile}")
+
+    outfile = Path(args.out)
+    _io.save_image(disp, outfile)
+    if corr is not None:
+        corr_out = outfile.parent / (outfile.stem + "-corrmap" + outfile.suffix)
+        _io.save_image(corr, corr_out, colormap="jet")
+
+    if args.qmatrix:
+        q = _io.read_q_matrix(args.qmatrix)
+        points = _io.reproject_image_to_3d(disp, q)
+        _io.save_pointcloud(points, disp, outfile, args.allow_negative_z)
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

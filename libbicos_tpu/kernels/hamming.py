@@ -1,0 +1,368 @@
+"""Pallas TPU kernel for the BICOS Hamming-argmin row scan.
+
+This is the TPU-native re-design of the reference's hottest kernel, the
+shared-memory correspondence scan ``bicos_kernel_smem``
+(``/root/reference/include/impl/cuda/bicos.cuh:77-140``): for every left pixel,
+find the right-row column minimizing the Hamming distance between binary
+descriptors, plus the *last* column attaining that minimum (for the
+NoDuplicates tie test).
+
+TPU mapping (nothing here resembles the CUDA code on purpose):
+
+* **Hamming as a matmul.** ``ham(a, b) = pop(a) + pop(b) - 2 a.b``. Encoding
+  the query as ``+-8192`` (bit -> -8192, no bit -> +8192) and the database as
+  0/1 bits, an MXU contraction yields ``s * 8192`` where
+  ``s = ham - pop(a)`` — ``pop(b)`` is folded in, and ``pop(a)`` is a
+  per-query constant that never affects the argmin.
+
+* **Argmin folded into the matmul.** Two extra descriptor columns carry the
+  *column index* of each database entry, split bf16-exactly as
+  ``col = 256*hi + lo`` with query-side coefficients ``[256, 1]``; the MXU
+  therefore emits ``packed = s*8192 + col`` directly, and the entire VPU
+  epilogue is ONE elementwise ``min`` per cost entry: the running minimum is
+  simultaneously (min cost, first argmin). A second contraction with the
+  bit-sign flipped emits ``col - s*8192``, whose running ``max`` yields the
+  *last* argmin. All packed values are exact f32 integers
+  (|s|*8192 <= 2^21, col < 2^13 => |packed| < 2^22 < 2^24).
+
+* **Packed descriptors in HBM.** Descriptors travel as little-endian uint32
+  lanes (8x less HBM traffic than bit planes) and are unpacked on-chip: the
+  right row once per image row into VMEM scratch (the analogue of the CUDA
+  kernel's dynamic-shared-memory row cache), the left tile once per grid
+  step.
+
+* **Padding never wins.** Right-row padding columns only exist in the final
+  column chunk, which is peeled out of the chunk loop and masked there — the
+  steady-state loop has zero masking overhead.
+
+Grid: ``(H, W0/TILE_I)``; each step runs one or two
+``(TILE_I, 128k) @ (128k, TILE_J)`` bf16 contractions per right-column chunk.
+The outputs are laid out ``(H, W0/TILE_I, TILE_I)`` so a whole row's result
+block satisfies the TPU (8, 128) tile constraint while the grid walks single
+rows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# packed = s * PACK_S + col; exact in f32 for widths < 8192.
+PACK_S = 8192
+# Penalty magnitude for padded columns in the peeled last chunk.
+PAD_PENALTY = float(1 << 23)
+ACC_INIT = float(1 << 24)
+
+DEF_TILE_I = 512
+DEF_TILE_J = 512
+# Right-row unpack proceeds in segments to bound shift/mask temporaries.
+UNPACK_SEG = 512
+
+
+def _unpack_bits_i32(flat):
+    """(R, nw) uint32 packed words -> (R, nw*32) int32 0/1 bit planes.
+
+    Bit k of the descriptor lives in word k//32, position k%32 (LSB-first),
+    matching ``descriptor.pack_bits``. Pure arithmetic — no boolean selects
+    (Mosaic-friendly layouts only).
+    """
+    r, nw = flat.shape
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (r, 32), 1)
+    planes = []
+    for wi in range(nw):
+        wcol = flat[:, wi : wi + 1]  # (R, 1)
+        planes.append(((wcol >> shifts) & jnp.uint32(1)).astype(jnp.int32))
+    return jnp.concatenate(planes, axis=1)
+
+
+def _encode_b(words_seg, col0: int, nbits: int, bpad: int):
+    """Database-side encoding for one segment of the right row.
+
+    (SEG, nw) uint32 -> (SEG, bpad) bf16: columns [0, nw*32) are the 0/1 bit
+    planes (bits >= nbits are zero in the packed words already), column
+    ``nbits`` carries ``(col0+r) >> 8`` and column ``nbits+1`` carries
+    ``(col0+r) & 255`` — both bf16-exact (<= 255 resp. < 32).
+    """
+    seg, nw = words_seg.shape
+    bits = _unpack_bits_i32(words_seg)  # (SEG, nw*32)
+    if bpad > nw * 32:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((seg, bpad - nw * 32), jnp.int32)], axis=1
+        )
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (seg, bpad), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (seg, bpad), 1)
+    vals = jnp.where(lane == nbits, col >> 8, bits)
+    vals = jnp.where(lane == nbits + 1, col & 255, vals)
+    return vals.astype(jnp.bfloat16)
+
+
+def _encode_a(words_tile, nbits: int, bpad: int, sign: int):
+    """Query-side encoding: (T, nw) uint32 -> (T, bpad) bf16.
+
+    ``sign=-1``: bit -> -8192, no bit -> +8192 (emits packed = s*8192 + col).
+    ``sign=+1``: bit -> +8192, no bit -> -8192 (emits col - s*8192).
+    Columns [nbits, nbits+1] get the col-split coefficients [256, 1]; any
+    remaining columns are zero.
+    """
+    t, nw = words_tile.shape
+    bits = _unpack_bits_i32(words_tile)
+    if bpad > nw * 32:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((t, bpad - nw * 32), jnp.int32)], axis=1
+        )
+    # (1 - 2*bit) << 13 = +-8192 without vector multiplies.
+    pm = (jnp.int32(1) - (bits << 1)) << 13
+    if sign > 0:
+        pm = -pm
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, bpad), 1)
+    pm = jnp.where(lane >= nbits, 0, pm)
+    pm = jnp.where(lane == nbits, 256, pm)
+    pm = jnp.where(lane == nbits + 1, 1, pm)
+    return pm.astype(jnp.bfloat16)
+
+
+def _minima_kernel(
+    w0_ref,  # (1, TILE_I, nw) uint32 — left descriptor words for this tile
+    w1_ref,  # (1, W1PAD, nw) uint32 — full right row, revisited across i
+    outf_ref,  # (1, NI, TILE_I) f32 — whole row of packed first-minima
+    outl_ref,  # (1, NI, TILE_I) f32 — whole row of packed last-maxima
+    b_scratch,  # (W1PAD, BPAD) bf16 — encoded right row
+    *,
+    nbits: int,
+    w1: int,
+    w1pad: int,
+    tile_j: int,
+    need_last: bool,
+):
+    i = pl.program_id(1)
+    tile_i = w0_ref.shape[1]
+    bpad = b_scratch.shape[1]
+
+    # Encode the right row into VMEM once per image row (i == 0), in
+    # segments inside a fori_loop so the shift/mask temporaries are reused.
+    @pl.when(i == 0)
+    def _():
+        nseg = w1pad // UNPACK_SEG
+
+        def encode_seg(k, carry):
+            seg = w1_ref[0, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
+            b_scratch[pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = _encode_b(
+                seg, k * UNPACK_SEG, nbits, bpad
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+
+    a_f = _encode_a(w0_ref[0], nbits, bpad, sign=-1)
+
+    nj = w1pad // tile_j
+
+    def dotf_chunk(j):
+        b_tile = b_scratch[pl.ds(j * tile_j, tile_j), :]
+        return jax.lax.dot_general(
+            a_f, b_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TILE_I, TILE_J) = s*8192 + col
+
+    def iota_j(j):
+        return j * tile_j + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_j), 1
+        )
+
+    # The last-argmin packing is derived from the SAME dot output:
+    #   dotf + (PACK_S-1 - 2*col) = s*8192 + (8191 - col),
+    # whose min keeps the minimal s with the LARGEST col as tiebreak —
+    # one broadcast add instead of a second matmul.
+    def body(j, carry):
+        accf, accl = carry
+        dotf = dotf_chunk(j)
+        accf = jnp.minimum(accf, dotf)
+        if need_last:
+            cvec = (jnp.float32(PACK_S - 1)
+                    - 2.0 * iota_j(j).astype(jnp.float32))
+            accl = jnp.minimum(accl, dotf + cvec)
+        return accf, accl
+
+    # Trailing chunks that touch padding mask columns >= W1 out of both
+    # reductions; steady-state chunks have zero masking overhead.
+    def body_masked(j, carry):
+        accf, accl = carry
+        dotf = dotf_chunk(j)
+        colv = iota_j(j)
+        pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
+        accf = jnp.minimum(accf, dotf + pen)
+        if need_last:
+            cvec = (jnp.float32(PACK_S - 1)
+                    - 2.0 * colv.astype(jnp.float32))
+            accl = jnp.minimum(accl, dotf + cvec + pen)
+        return accf, accl
+
+    # Fully unrolled at trace time: Mosaic then software-pipelines the
+    # chunks, overlapping each chunk's MXU contraction with the previous
+    # chunk's VPU min — measured ~2x over a fori_loop (which fences per
+    # iteration). nj is small (<= W/128 chunks), so code size stays sane.
+    nj_fast = min(w1 // tile_j, nj)
+    init = jnp.full((tile_i, tile_j), jnp.float32(ACC_INIT), jnp.float32)
+    accf, accl = init, init
+    for j in range(nj_fast):
+        accf, accl = body(j, (accf, accl))
+    for j in range(nj_fast, nj):
+        accf, accl = body_masked(j, (accf, accl))
+
+    outf_ref[0, i, :] = jnp.min(accf, axis=1)
+    if need_last:
+        outl_ref[0, i, :] = jnp.min(accl, axis=1)
+    else:
+        outl_ref[0, i, :] = jnp.zeros((tile_i,), jnp.float32)
+
+
+def _pad_axis(x, axis: int, mult: int):
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "need_last", "tile_i", "tile_j", "interpret"),
+)
+def _row_minima_words(
+    words0,
+    words1,
+    pop0,
+    *,
+    nbits: int,
+    need_last: bool,
+    tile_i: int,
+    tile_j: int,
+    interpret: bool,
+):
+    h, w0, nw = words0.shape
+    w1 = words1.shape[1]
+
+    words0p = _pad_axis(words0, 1, tile_i)
+    words1p = _pad_axis(words1, 1, max(tile_j, UNPACK_SEG))
+    w0pad = words0p.shape[1]
+    w1pad = words1p.shape[1]
+    ni = w0pad // tile_i
+    # Two col-split columns ride after the descriptor bits.
+    bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+
+    kernel = functools.partial(
+        _minima_kernel,
+        nbits=nbits,
+        w1=w1,
+        w1pad=w1pad,
+        tile_j=tile_j,
+        need_last=need_last,
+    )
+
+    grid = (h, ni)
+    mf, ml = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_i, nw),
+                lambda r, i: (r, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, w1pad, nw),
+                lambda r, i: (r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, ni, tile_i), jnp.float32),
+            jax.ShapeDtypeStruct((h, ni, tile_i), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((w1pad, bpad), jnp.bfloat16)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * w0pad * w1pad * bpad * (2 if need_last else 1),
+            bytes_accessed=(h * (w0pad + w1pad) * nw * 4
+                            + h * w0pad * 8),
+            transcendentals=0,
+        ),
+    )(words0p, words1p)
+
+    mf = mf.reshape(h, w0pad)[:, :w0]
+    # Decode mf = s*8192 + col (exact f32 ints; s may be negative).
+    sf = jnp.floor(mf / PACK_S)
+    first = (mf - sf * PACK_S).astype(jnp.int32)
+    cost = sf.astype(jnp.int32) + pop0
+    if need_last:
+        # ml = min(s*8192 + (8191 - col)): the minimal s wins with the
+        # LARGEST col as tiebreak; col = 8191 - (ml mod 8192).
+        ml = ml.reshape(h, w0pad)[:, :w0]
+        sl = jnp.floor(ml / PACK_S)
+        last = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
+    else:
+        last = None
+    return cost, first, last
+
+
+def row_minima_pallas(
+    bits0,
+    bits1,
+    need_last: bool,
+    *,
+    tile_i: int = DEF_TILE_I,
+    tile_j: int = DEF_TILE_J,
+    interpret: bool = False,
+):
+    """Drop-in Pallas analogue of :func:`..search.row_minima_xla`.
+
+    Args:
+      bits0: (H, W0, B) bool descriptor bit planes (query side).
+      bits1: (H, W1, B) bool (database side).
+      need_last: also compute last-occurrence argmin (NoDuplicates tie test).
+
+    Returns:
+      (cost, first, last): (H, W0) int32 minima of the Hamming scan;
+      ``last`` is None when ``need_last`` is False.
+    """
+    from ..descriptor import pack_bits
+
+    h, w0, nbits = bits0.shape
+    w1 = bits1.shape[1]
+    if max(w0, w1) >= PACK_S:
+        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
+    words0 = pack_bits(bits0)
+    words1 = pack_bits(bits1)
+    pop0 = jnp.sum(bits0.astype(jnp.int32), axis=-1)
+    # tile_j must divide the padded width (a multiple of UNPACK_SEG), so it
+    # is snapped to a power of two in [128, UNPACK_SEG].
+    want_j = min(tile_j, max(128, ((w1 + 127) // 128) * 128), UNPACK_SEG)
+    tile_j = 128
+    while tile_j * 2 <= want_j:
+        tile_j *= 2
+    tile_i = min(tile_i, max(128, ((w0 + 127) // 128) * 128))
+    return _row_minima_words(
+        words0,
+        words1,
+        pop0,
+        nbits=nbits,
+        need_last=need_last,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        interpret=interpret,
+    )

@@ -1,0 +1,191 @@
+"""Drop-in ``pybicos``-compatible API surface.
+
+Users of the reference's ctypes package (``/root/reference/pybicos/__init__.py``)
+can ``import libbicos_tpu.pybicos_compat as pybicos`` and keep their code:
+
+* mutable :class:`Config` with the same property names, None <-> -1 sentinel
+  semantics (pybicos/__init__.py:110-196) and the C-ABI default values
+  (pybicos_c.cpp:92-108: threshold 0.5, LIMITED, NoDuplicates),
+* :func:`match` taking *lists of 2-D arrays* and returning
+  ``(disparity, corrmap)`` — the corrmap is always computed, mirroring the
+  C-ABI quirk of forcing the NXCORR path (pybicos_c.cpp:158); when the config
+  disables NXCORR the corrmap is all-NaN but still returned with the right
+  shape (the C ABI returns whatever buffer the backend produced),
+* :func:`invalid_disparity` (pybicos/__init__.py:246-252).
+
+Everything runs through the TPU engine — there is no C ABI because the
+compute already lives behind XLA; the ctypes marshalling layer's job
+(zero-copy ndarray views in, owned copies out) is what ``jnp.asarray`` /
+``np.asarray`` do natively.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import config as _config
+from . import pipeline as _pipeline
+
+
+class TransformMode(Enum):
+    LIMITED = 0
+    FULL = 1
+
+
+class Precision(Enum):
+    SINGLE = 0
+    DOUBLE = 1
+
+
+class VariantType(Enum):
+    NO_DUPLICATES = 0
+    CONSISTENCY = 1
+
+
+class Config:
+    """Mutable config mirroring the ctypes wrapper's surface."""
+
+    def __init__(self):
+        # Defaults per BICOS_CreateDefaultConfig (pybicos_c.cpp:92-108).
+        self.nxcorr_threshold = 0.5
+        self._subpixel_step = -1.0
+        self._min_variance = -1.0
+        self._mode = TransformMode.LIMITED.value
+        self._precision = Precision.SINGLE.value
+        self._variant_type = VariantType.NO_DUPLICATES.value
+        self._max_lr_diff = 1
+        self._no_dupes = 0
+
+    @property
+    def subpixel_step(self) -> Optional[float]:
+        return None if self._subpixel_step < 0 else self._subpixel_step
+
+    @subpixel_step.setter
+    def subpixel_step(self, value):
+        self._subpixel_step = -1.0 if value is None else float(value)
+
+    @property
+    def min_variance(self) -> Optional[float]:
+        return None if self._min_variance < 0 else self._min_variance
+
+    @min_variance.setter
+    def min_variance(self, value):
+        self._min_variance = -1.0 if value is None else float(value)
+
+    @property
+    def mode(self) -> TransformMode:
+        return TransformMode(self._mode)
+
+    @mode.setter
+    def mode(self, value):
+        self._mode = value.value if isinstance(value, TransformMode) else value
+
+    @property
+    def precision(self) -> Precision:
+        return Precision(self._precision)
+
+    @precision.setter
+    def precision(self, value):
+        self._precision = (
+            value.value if isinstance(value, Precision) else value
+        )
+
+    @property
+    def variant(self):
+        if self._variant_type == VariantType.NO_DUPLICATES.value:
+            return "NoDuplicates"
+        return {
+            "type": "Consistency",
+            "max_lr_diff": self._max_lr_diff,
+            "no_dupes": bool(self._no_dupes),
+        }
+
+    def set_no_duplicates(self):
+        self._variant_type = VariantType.NO_DUPLICATES.value
+
+    def set_consistency(self, max_lr_diff: int = 1, no_dupes: bool = False):
+        self._variant_type = VariantType.CONSISTENCY.value
+        self._max_lr_diff = max_lr_diff
+        self._no_dupes = 1 if no_dupes else 0
+
+    def __repr__(self):
+        return "\n".join([
+            "Config(",
+            f"  nxcorr_threshold={self.nxcorr_threshold}",
+            f"  subpixel_step={self.subpixel_step}",
+            f"  min_variance={self.min_variance}",
+            f"  mode={self.mode.name}",
+            f"  precision={self.precision.name}",
+            f"  variant={self.variant}",
+            ")",
+        ])
+
+    def _to_native(self) -> _config.Config:
+        """Translate to the engine Config with the C ABI's sentinel rules
+        (pybicos_c.cpp:56-89: threshold < 0 means 'not set' -> but the match
+        entry point forces a threshold because corrmap is always on; we
+        preserve exact values)."""
+        # A negative threshold means "compute NXCORR but never reject": the
+        # C ABI maps negatives to nullopt (pybicos_c.cpp:60-62) yet always
+        # requests the corrmap, and nxcorr >= -1 always, so threshold<=-1 is
+        # the observable equivalent with a stable corrmap contract.
+        thr = self.nxcorr_threshold
+        if self._variant_type == VariantType.CONSISTENCY.value:
+            variant = _config.Consistency(
+                max_lr_diff=self._max_lr_diff, no_dupes=bool(self._no_dupes)
+            )
+        else:
+            variant = _config.NoDuplicates()
+        return _config.Config(
+            nxcorr_threshold=thr,
+            subpixel_step=self.subpixel_step,
+            min_variance=self.min_variance,
+            mode=_config.TransformMode(self._mode),
+            precision=_config.Precision(self._precision),
+            variant=variant,
+        )
+
+
+def match(
+    stack0: Sequence[np.ndarray],
+    stack1: Sequence[np.ndarray],
+    cfg: Optional[Config] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """pybicos-compatible match: lists of 2-D images in, owned numpy arrays
+    (disparity, corrmap) out. The corrmap is always computed
+    (pybicos_c.cpp:158)."""
+    if (isinstance(stack0, (list, tuple)) and not stack0) or (
+        isinstance(stack1, (list, tuple)) and not stack1
+    ):
+        raise ValueError("Empty image stacks")
+    if cfg is None:
+        cfg = Config()
+    native = cfg._to_native()
+    # The C ABI always requests a corrmap, which forces the NXCORR path even
+    # when the threshold is unset: it substitutes threshold -1 semantics by
+    # passing &corrmap unconditionally. With no threshold our engine skips
+    # NXCORR, so replicate by forcing threshold -1 like the CLI does.
+    if native.nxcorr_threshold is None:
+        native = _config.Config(
+            nxcorr_threshold=-1.0,
+            subpixel_step=native.subpixel_step,
+            min_variance=native.min_variance,
+            mode=native.mode,
+            precision=native.precision,
+            variant=native.variant,
+        )
+    s0 = np.stack([np.ascontiguousarray(im) for im in stack0])
+    s1 = np.stack([np.ascontiguousarray(im) for im in stack1])
+    disp, corr = _pipeline.match(s0, s1, native, corrmap=True)
+    return np.asarray(disp), np.asarray(corr)
+
+
+def invalid_disparity(dtype):
+    if dtype == np.float32:
+        return float("nan")
+    if dtype == np.int16:
+        return np.int16(-32768)
+    raise ValueError(f"Unsupported dtype for invalid_disparity: {dtype}")

@@ -1,0 +1,203 @@
+"""Multi-chip scale-out for the BICOS pipeline.
+
+The reference is strictly single-GPU (SURVEY.md section 2: no NCCL/MPI — its
+only parallelism is row-sliced ``cv::parallel_for_`` and a thread-per-pixel
+CUDA grid). On TPU the pipeline scales over a ``jax.sharding.Mesh``:
+
+* **H-banding** (:func:`match_sharded`) — every stage of BICOS is
+  row-independent (epipolar geometry), so sharding the row axis across chips
+  is a pure map: XLA inserts *zero* collectives. This is the default and
+  rides ICI/DCN only for the initial scatter and final gather of results.
+
+* **W-banding** (:func:`row_minima_wband`) — for very wide images the O(W^2)
+  Hamming scan can additionally be split along columns: each chip holds a
+  column band of left descriptors and ring-passes right-descriptor bands with
+  ``jax.lax.ppermute``, folding each visiting band into running packed
+  (min-cost, argmin) accumulators — the collective analogue of the kernel's
+  VMEM row cache (and of ring attention). The packed-min trick makes the
+  cross-chip reduction a plain elementwise ``min``, so NoDuplicates ties and
+  first-occurrence semantics survive sharding exactly.
+
+Multi-host: build the mesh from ``jax.devices()`` after
+``jax.distributed.initialize``; per-host sharded image loading lives in
+:mod:`.io` (``load_stack_sharded``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import descriptor as _descriptor
+from . import search as _search
+from .config import Config
+from .pipeline import _match_impl
+from .search import PACK_K
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_name: str = "rows"
+) -> Mesh:
+    """1-D device mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return Mesh(np.array(devs[:n_devices]), (axis_name,))
+
+
+def _pad_rows(x, rows_axis: int, mult: int):
+    pad = (-x.shape[rows_axis]) % mult
+    if pad == 0:
+        return x, 0
+    widths = [(0, 0)] * x.ndim
+    widths[rows_axis] = (0, pad)
+    return jnp.pad(x, widths), pad
+
+
+def match_sharded(
+    stack0,
+    stack1,
+    cfg: Config = Config(),
+    *,
+    mesh: Optional[Mesh] = None,
+    corrmap: bool = False,
+    backend: str = "auto",
+):
+    """H-banded multi-chip ``match``: rows scattered over the mesh, no
+    communication inside the pipeline (SURVEY.md section 5 plan).
+
+    Accepts the same arguments as :func:`libbicos_tpu.match` plus ``mesh``
+    (defaults to all local devices on one axis).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    (axis_name,) = mesh.axis_names
+    ndev = mesh.devices.size
+
+    stack0 = jnp.asarray(stack0)
+    stack1 = jnp.asarray(stack1)
+    stack0, pad = _pad_rows(stack0, 1, ndev)
+    stack1, _ = _pad_rows(stack1, 1, ndev)
+    h = stack0.shape[1]
+
+    backend = _search.resolve_backend(backend)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(s0, s1):
+        fn = shard_map(
+            lambda a, b: _match_impl(a, b, cfg, corrmap, backend),
+            mesh=mesh,
+            in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
+            out_specs=(P(axis_name, None),
+                       P(axis_name, None) if corrmap else P()),
+            check_rep=False,
+        )
+        return fn(s0, s1)
+
+    sharding = NamedSharding(mesh, P(None, axis_name, None))
+    s0 = jax.device_put(stack0, sharding)
+    s1 = jax.device_put(stack1, sharding)
+    disp, corr = run(s0, s1)
+    if pad:
+        disp = disp[: h - pad]
+        corr = corr[: h - pad] if corrmap else corr
+    if corrmap:
+        return disp, corr
+    return disp
+
+
+def row_minima_wband(
+    bits0,
+    bits1,
+    need_last: bool,
+    *,
+    mesh: Mesh,
+    backend: str = "xla",
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """W-banded Hamming-scan minima via a ``ppermute`` ring.
+
+    Each chip owns a column band of the left descriptors and starts with its
+    band of the right descriptors; right bands rotate around the ring, and
+    each visit folds into the packed running minima. After ``ndev`` steps
+    every chip holds exact global (cost, first, last) for its band.
+
+    Inputs/outputs match :func:`..search.row_minima_xla`, but execution is
+    sharded on the column axis of ``bits0``.
+    """
+    (axis_name,) = mesh.axis_names
+    ndev = mesh.devices.size
+    h, w0, b = bits0.shape
+    w1 = bits1.shape[1]
+    if max(w0, w1) > PACK_K:
+        raise ValueError(f"image width > {PACK_K} not supported")
+
+    padded0, pad0 = _pad_rows(bits0, 1, ndev)
+    padded1, pad1 = _pad_rows(bits1, 1, ndev)
+    band1 = padded1.shape[1] // ndev
+
+    def shard_fn(b0, b1):
+        # b0: (H, w0/ndev, B) local left band; b1: (H, band1, B) right band.
+        idx = jax.lax.axis_index(axis_name)
+
+        def step(i, carry):
+            mf, ml, cur = carry
+            # Global column offset of the band currently held: the band that
+            # started on chip (idx + i) mod ndev.
+            src = jax.lax.rem(idx + i, ndev)
+            cost = _band_cost(b0, cur, backend)
+            col = src * band1 + jnp.arange(band1, dtype=jnp.int32)[None, None]
+            colg = jnp.broadcast_to(col, cost.shape)
+            # Mask padded right columns out of the running minima.
+            pen = jnp.where(colg >= w1, jnp.int32(1 << 26), jnp.int32(0))
+            pf = cost * PACK_K + colg + pen
+            mf = jnp.minimum(mf, jnp.min(pf, axis=2))
+            if need_last:
+                pl_ = cost * PACK_K + (w1 - 1 - colg) + pen
+                ml = jnp.minimum(ml, jnp.min(pl_, axis=2))
+            nxt = jax.lax.ppermute(
+                cur,
+                axis_name,
+                perm=[((d + 1) % ndev, d) for d in range(ndev)],
+            )
+            return mf, ml, nxt
+
+        big = jnp.full((h, b0.shape[1]), jnp.int32(1 << 30))
+        mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (big, big, b1))
+        return mf, ml
+
+    mf, ml = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+        check_rep=False,
+    )(padded0, padded1)
+
+    mf = mf[:, :w0]
+    ml = ml[:, :w0]
+    cost = mf // PACK_K
+    first = mf - cost * PACK_K
+    if need_last:
+        last = (w1 - 1) - (ml - (ml // PACK_K) * PACK_K)
+    else:
+        last = None
+    return cost, first, last
+
+
+def _band_cost(bits0, bits1, backend: str):
+    """(H, W0b, B) x (H, W1b, B) -> (H, W0b, W1b) int32 Hamming cost."""
+    del backend  # XLA einsum path; a Pallas band kernel slots in here later.
+    a = bits0.astype(jnp.bfloat16)
+    bm = bits1.astype(jnp.bfloat16)
+    dot = jnp.einsum(
+        "hib,hjb->hij", a, bm, preferred_element_type=jnp.float32
+    )
+    pop0 = jnp.sum(bits0, axis=-1, dtype=jnp.int32)[:, :, None]
+    pop1 = jnp.sum(bits1, axis=-1, dtype=jnp.int32)[:, None, :]
+    return pop0 + pop1 - 2 * dot.astype(jnp.int32)

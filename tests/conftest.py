@@ -3,13 +3,28 @@ tests run anywhere (SURVEY.md section 4's multi-host simulation strategy)."""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force CPU even when the
+# environment preselects a TPU platform (e.g. JAX_PLATFORMS=axon): the suite
+# needs the 8-device virtual mesh, and per-shape remote TPU compiles make it
+# crawl. Set BICOS_TEST_PLATFORM to override (e.g. to run on real TPU).
+os.environ["JAX_PLATFORMS"] = os.environ.get("BICOS_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+if os.environ["JAX_PLATFORMS"] == "cpu":
+    # The env var can be overridden by site hooks that force-register a TPU
+    # plugin (e.g. axon's sitecustomize sets jax_platforms="axon,cpu"), so
+    # pin the config directly; must run before the backend initializes.
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:  # pragma: no cover - older jax without the option
+        pass
 
 import numpy as np
 import pytest

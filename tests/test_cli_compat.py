@@ -1,0 +1,136 @@
+"""CLI flag mapping (reference cli.cpp:137-166 parity) + pybicos_compat."""
+
+import numpy as np
+import pytest
+
+from libbicos_tpu import Config, Consistency, NoDuplicates, Precision, TransformMode
+from libbicos_tpu.cli import build_parser, config_from_args
+
+
+def _cfg(argv):
+    args = build_parser().parse_args(["folder"] + argv)
+    return config_from_args(args)
+
+
+def test_cli_defaults_differ_from_library():
+    cfg = _cfg([])
+    assert cfg.nxcorr_threshold == 0.75  # cli.cpp:63 (library: 0.5)
+    assert cfg.mode == TransformMode.FULL  # cli.cpp:139 (library: LIMITED)
+    assert cfg.min_variance == 1.0  # cli default variance
+    assert isinstance(cfg.variant, NoDuplicates)
+    lib = Config()
+    assert lib.nxcorr_threshold == 0.5
+    assert lib.mode == TransformMode.LIMITED
+
+
+def test_cli_threshold_zero_disables():
+    cfg = _cfg(["-t", "0"])
+    assert cfg.nxcorr_threshold is None
+
+
+def test_cli_corrmap_forces_threshold():
+    cfg = _cfg(["-t", "0", "--corrmap"])
+    assert cfg.nxcorr_threshold == -1.0  # cli.cpp:146-149
+
+
+def test_cli_lr_maxdiff_selects_consistency():
+    cfg = _cfg(["-m", "3"])
+    assert cfg.variant == Consistency(max_lr_diff=3, no_dupes=False)
+    cfg = _cfg(["-m", "3", "--no-dupes"])
+    assert cfg.variant == Consistency(max_lr_diff=3, no_dupes=True)
+
+
+def test_cli_limited_and_double():
+    cfg = _cfg(["--limited", "--double"])
+    assert cfg.mode == TransformMode.LIMITED
+    assert cfg.precision == Precision.DOUBLE
+
+
+def test_cli_variance_nonpositive_disables():
+    cfg = _cfg(["-v", "0"])
+    assert cfg.min_variance is None
+
+
+def test_cli_end_to_end(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    from libbicos_tpu.cli import main
+    from libbicos_tpu.io import synthetic_stack_pair
+
+    s0, s1, _ = synthetic_stack_pair(5, 8, 24, seed=3)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(5):
+        cv2.imwrite(str(d / f"{i}_left.png"), s0[i])
+        cv2.imwrite(str(d / f"{i}_right.png"), s1[i])
+    q = tmp_path / "Q.yaml"
+    fs = cv2.FileStorage(str(q), cv2.FILE_STORAGE_WRITE)
+    fs.write("Q", np.eye(4))
+    fs.release()
+    out = tmp_path / "disp.png"
+    rc = main([str(d), "-o", str(out), "-t", "0.5", "--limited", "--corrmap",
+               "-q", str(q), "--backend", "xla"])
+    assert rc == 0
+    assert out.exists()
+    assert (tmp_path / "disp.tiff").exists()
+    assert (tmp_path / "disp-corrmap.png").exists()
+    assert (tmp_path / "disp.xyz").exists()
+
+
+def test_pybicos_compat_match(rng):
+    from conftest import make_stack_pair
+
+    import libbicos_tpu as bicos
+    import libbicos_tpu.pybicos_compat as pybicos
+
+    s0, s1, _ = make_stack_pair(rng, 5, 6, 20)
+    cfg = pybicos.Config()
+    assert cfg.nxcorr_threshold == 0.5
+    assert cfg.mode == pybicos.TransformMode.LIMITED
+    assert cfg.variant == "NoDuplicates"
+    disp, corr = pybicos.match(list(s0), list(s1), cfg)
+    assert disp.shape == (6, 20) and corr.shape == (6, 20)
+    want_d, want_c = bicos.match(
+        s0, s1, bicos.Config(), corrmap=True, backend="xla"
+    )
+    np.testing.assert_array_equal(disp, np.asarray(want_d))
+    np.testing.assert_array_equal(corr, np.asarray(want_c))
+
+
+def test_pybicos_compat_corrmap_always_on(rng):
+    """Threshold disabled still returns a corrmap (pybicos_c.cpp:158)."""
+    from conftest import make_stack_pair
+
+    import libbicos_tpu.pybicos_compat as pybicos
+
+    s0, s1, _ = make_stack_pair(rng, 5, 4, 16)
+    cfg = pybicos.Config()
+    cfg.nxcorr_threshold = -1.0  # negative = "disabled" in the C ABI
+    disp, corr = pybicos.match(list(s0), list(s1), cfg)
+    assert corr.shape == disp.shape
+    # Never rejects: raw search output preserved wherever in-bounds.
+    assert np.isfinite(corr).any()
+
+
+def test_pybicos_compat_consistency(rng):
+    from conftest import make_stack_pair
+
+    import libbicos_tpu as bicos
+    import libbicos_tpu.pybicos_compat as pybicos
+
+    s0, s1, _ = make_stack_pair(rng, 5, 4, 16)
+    cfg = pybicos.Config()
+    cfg.set_consistency(max_lr_diff=2, no_dupes=True)
+    disp, _ = pybicos.match(list(s0), list(s1), cfg)
+    want, _ = bicos.match(
+        s0, s1,
+        bicos.Config(variant=bicos.Consistency(max_lr_diff=2, no_dupes=True)),
+        corrmap=True, backend="xla",
+    )
+    np.testing.assert_array_equal(disp, np.asarray(want))
+
+
+def test_pybicos_invalid_disparity():
+    import libbicos_tpu.pybicos_compat as pybicos
+
+    assert np.isnan(pybicos.invalid_disparity(np.float32))
+    assert pybicos.invalid_disparity(np.int16) == -32768

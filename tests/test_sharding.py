@@ -1,0 +1,79 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh (conftest sets
+XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+
+import libbicos_tpu as bicos
+from libbicos_tpu import Config, Consistency, NoDuplicates, TransformMode
+from libbicos_tpu import descriptor, search
+from libbicos_tpu.sharding import make_mesh, match_sharded, row_minima_wband
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    return make_mesh(4)
+
+
+CFGS = [
+    Config(nxcorr_threshold=None),
+    Config(nxcorr_threshold=0.5, min_variance=1.0),
+    Config(nxcorr_threshold=0.7, subpixel_step=0.25,
+           variant=Consistency(max_lr_diff=1, no_dupes=True)),
+]
+
+
+@pytest.mark.parametrize("cfg", CFGS)
+def test_match_sharded_equals_single(rng, mesh, cfg):
+    from conftest import make_stack_pair
+
+    s0, s1, _ = make_stack_pair(rng, 5, 10, 24)  # H=10: uneven over 4 devices
+    want = np.asarray(bicos.match(s0, s1, cfg, backend="xla"))
+    got = np.asarray(
+        match_sharded(s0, s1, cfg, mesh=mesh, backend="xla")
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_match_sharded_corrmap(rng, mesh):
+    from conftest import make_stack_pair
+
+    cfg = Config(nxcorr_threshold=0.5)
+    s0, s1, _ = make_stack_pair(rng, 5, 8, 24)
+    wd, wc = bicos.match(s0, s1, cfg, corrmap=True, backend="xla")
+    gd, gc = match_sharded(s0, s1, cfg, mesh=mesh, corrmap=True,
+                           backend="xla")
+    np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(wc))
+
+
+@pytest.mark.parametrize("need_last", [True, False])
+def test_wband_ring_equals_single(rng, mesh, need_last):
+    from conftest import make_stack_pair
+
+    s0, s1, _ = make_stack_pair(rng, 6, 3, 42)  # W=42: uneven over 4 devices
+    b0 = descriptor.descriptor_bits(s0, TransformMode.LIMITED)
+    b1 = descriptor.descriptor_bits(s1, TransformMode.LIMITED)
+    cw, fw, lw = row_minima_wband(b0, b1, need_last, mesh=mesh)
+    c1, f1, l1 = search.row_minima_xla(b0, b1, need_last)
+    np.testing.assert_array_equal(np.asarray(cw), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(fw), np.asarray(f1))
+    if need_last:
+        np.testing.assert_array_equal(np.asarray(lw), np.asarray(l1))
+
+
+def test_wband_duplicate_ties_across_bands(rng, mesh):
+    """A duplicate minimum split across two column bands must still be seen
+    as a tie (first != last) after the ring reduction."""
+    b = rng.random((1, 40, 30)) < 0.5
+    b1 = b.copy()
+    b1[:, 35] = b1[:, 2]  # duplicate far apart -> lives on different bands
+    bits0 = b[:, 2:3, :]  # single query equal to the duplicated descriptor
+    cw, fw, lw = row_minima_wband(bits0, b1, True, mesh=mesh)
+    assert int(cw[0, 0]) == 0
+    assert int(fw[0, 0]) == 2
+    assert int(lw[0, 0]) == 35
