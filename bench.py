@@ -48,6 +48,19 @@ def main():
     mode = os.environ.get("BICOS_BENCH_MODE", "headline")
 
     import jax
+
+    # Persistent compilation cache: repeat bench runs skip the multi-minute
+    # first compile (harmless where the backend ignores it).
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     import libbicos_tpu as bicos

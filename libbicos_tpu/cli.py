@@ -209,5 +209,15 @@ def main(argv=None) -> int:
     return 0
 
 
+def _entry() -> int:
+    """Console entry: surface user errors cleanly, like the reference CLI's
+    uncaught-exception abort but without the traceback noise."""
+    try:
+        return main()
+    except (FileNotFoundError, NotADirectoryError, ValueError) as e:
+        print(f"bicos: error: {e}", file=sys.stderr)
+        return 2
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(_entry())
