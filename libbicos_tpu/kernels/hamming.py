@@ -221,6 +221,141 @@ def _minima_kernel(
         outl_ref[0, i, :] = jnp.zeros((tile_i,), jnp.float32)
 
 
+def _consistency_kernel(
+    w0_ref,  # (1, TILE_I, nw) uint32 — left descriptor words for this tile
+    w1_ref,  # (1, W1PAD, nw) uint32 — full right row, revisited across i
+    outf_ref,  # (1, NI, TILE_I) f32 — packed forward first-minima
+    outl_ref,  # (1, NI, TILE_I) f32 — packed forward last-minima
+    outrf_ref,  # (1, 1, W1PAD) f32 — packed reverse first-minima
+    outrl_ref,  # (1, 1, W1PAD) f32 — packed reverse last-minima
+    b_scratch,  # (W1PAD, BPAD) bf16 — encoded right row
+    rev_scratch,  # (8, W1PAD) f32 — reverse minima accumulator (row 0..7)
+    *,
+    nbits: int,
+    w0: int,
+    w1: int,
+    w1pad: int,
+    tile_j: int,
+    tile_i: int,
+    no_dupes: bool,
+):
+    """Fused forward+reverse scan for the Consistency variant.
+
+    The reference runs a second full scan per matched pixel
+    (``bicos.hpp:100-101``); the XLA path runs two full kernel passes with
+    the operands swapped. Here BOTH directions come out of one sweep of the
+    cost matrix: the forward packing rides the col-index matmul columns as
+    usual, and the reverse packing re-adds the row-varying terms
+    (``pop0*8192 + col0``, turning ``s = ham - pop0(col0)`` back into the
+    true Hamming cost, which IS row-dependent along the reverse reduction)
+    as a per-row broadcast before reducing over rows. Reverse results
+    accumulate across the row-tile grid in VMEM scratch and flush on the
+    last tile.
+    """
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    bpad = b_scratch.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        nseg = w1pad // UNPACK_SEG
+
+        def encode_seg(k, carry):
+            seg = w1_ref[0, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
+            b_scratch[pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = _encode_b(
+                seg, k * UNPACK_SEG, nbits, bpad
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+        rev_scratch[...] = jnp.full(
+            (8, w1pad), jnp.float32(ACC_INIT * 2), jnp.float32
+        )
+
+    a_f = _encode_a(w0_ref[0], nbits, bpad, sign=-1)
+    # Bits-only query (extras zeroed): against b's col columns the extras
+    # contribute 0, so this dot emits pure s*8192.
+    a_s = _encode_a_bits(w0_ref[0], nbits, bpad)
+
+    # Row-varying reverse terms: pop0*8192 restores the true Hamming cost
+    # (s depends on the row's popcount, which is NOT constant along the
+    # reverse reduction), col0 packs the argmin, and padded query rows
+    # (>= W0) get a penalty so they never win.
+    bits0 = _unpack_bits_i32(w0_ref[0].reshape(tile_i, -1))
+    pop0 = jnp.sum(bits0, axis=1, keepdims=True).astype(jnp.float32)
+    row0 = i * tile_i + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_i, 1), 0
+    )
+    rowpen = jnp.where(row0 >= w0, jnp.float32(PAD_PENALTY), 0.0)
+    radd_f = pop0 * jnp.float32(PACK_S) + row0.astype(jnp.float32) + rowpen
+    radd_l = (pop0 * jnp.float32(PACK_S)
+              + (jnp.float32(PACK_S - 1) - row0.astype(jnp.float32))
+              + rowpen)
+
+    nj = w1pad // tile_j
+
+    def chunk(j, accf, accl):
+        b_tile = b_scratch[pl.ds(j * tile_j, tile_j), :]
+        dotf = jax.lax.dot_general(
+            a_f, b_tile, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dots = jax.lax.dot_general(
+            a_s, b_tile, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        colv = j * tile_j + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_j), 1
+        )
+        pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
+        accf = jnp.minimum(accf, dotf + pen)
+        if no_dupes:
+            cvec = (jnp.float32(PACK_S - 1)
+                    - 2.0 * colv.astype(jnp.float32)) + pen
+            accl = jnp.minimum(accl, dotf + cvec)
+        # Reverse: min over rows of (ham*8192 + col0) per right column.
+        rev_f = jnp.min(dots + radd_f, axis=0, keepdims=True)  # (1, TJ)
+        js = pl.ds(j * tile_j, tile_j)
+        cur = rev_scratch[0:1, js]
+        rev_scratch[0:1, js] = jnp.minimum(cur, rev_f)
+        if no_dupes:
+            rev_l = jnp.min(dots + radd_l, axis=0, keepdims=True)
+            cur_l = rev_scratch[1:2, js]
+            rev_scratch[1:2, js] = jnp.minimum(cur_l, rev_l)
+        return accf, accl
+
+    init = jnp.full((tile_i, tile_j), jnp.float32(ACC_INIT), jnp.float32)
+    accf, accl = init, init
+    for j in range(nj):
+        accf, accl = chunk(j, accf, accl)
+
+    outf_ref[0, i, :] = jnp.min(accf, axis=1)
+    outl_ref[0, i, :] = (jnp.min(accl, axis=1) if no_dupes
+                         else jnp.zeros((tile_i,), jnp.float32))
+
+    @pl.when(i == ni - 1)
+    def _():
+        outrf_ref[0, 0, :] = rev_scratch[0, :]
+        outrl_ref[0, 0, :] = (rev_scratch[1, :] if no_dupes
+                              else jnp.zeros((w1pad,), jnp.float32))
+
+
+def _encode_a_bits(words_tile, nbits: int, bpad: int):
+    """Query-side encoding with ZERO extras: bit -> -8192, no bit -> +8192,
+    all columns >= nbits zero — the dot against an :func:`_encode_b` row
+    yields pure ``s*8192`` (the col columns multiply zeros)."""
+    t, nw = words_tile.shape
+    bits = _unpack_bits_i32(words_tile)
+    if bpad > nw * 32:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((t, bpad - nw * 32), jnp.int32)], axis=1
+        )
+    pm = (jnp.int32(1) - (bits << 1)) << 13
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, bpad), 1)
+    pm = jnp.where(lane >= nbits, 0, pm)
+    return pm.astype(jnp.bfloat16)
+
+
 def _pad_axis(x, axis: int, mult: int):
     pad = (-x.shape[axis]) % mult
     if pad == 0:
@@ -318,6 +453,151 @@ def _row_minima_words(
     else:
         last = None
     return cost, first, last
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "no_dupes", "tile_i", "tile_j", "interpret"),
+)
+def _row_minima_consistency_words(
+    words0,
+    words1,
+    pop0,
+    *,
+    nbits: int,
+    no_dupes: bool,
+    tile_i: int,
+    tile_j: int,
+    interpret: bool,
+):
+    h, w0, nw = words0.shape
+    w1 = words1.shape[1]
+
+    words0p = _pad_axis(words0, 1, tile_i)
+    words1p = _pad_axis(words1, 1, max(tile_j, UNPACK_SEG))
+    w0pad = words0p.shape[1]
+    w1pad = words1p.shape[1]
+    ni = w0pad // tile_i
+    bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+
+    kernel = functools.partial(
+        _consistency_kernel,
+        nbits=nbits,
+        w0=w0,
+        w1=w1,
+        w1pad=w1pad,
+        tile_j=tile_j,
+        tile_i=tile_i,
+        no_dupes=no_dupes,
+    )
+
+    grid = (h, ni)
+    mf, ml, mrf, mrl = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_i, nw), lambda r, i: (r, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, w1pad, nw), lambda r, i: (r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w1pad), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w1pad), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, ni, tile_i), jnp.float32),
+            jax.ShapeDtypeStruct((h, ni, tile_i), jnp.float32),
+            jax.ShapeDtypeStruct((h, 1, w1pad), jnp.float32),
+            jax.ShapeDtypeStruct((h, 1, w1pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((w1pad, bpad), jnp.bfloat16),
+            pltpu.VMEM((8, w1pad), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * h * w0pad * w1pad * bpad,
+            bytes_accessed=(h * (w0pad + w1pad) * nw * 4
+                            + h * (w0pad + w1pad) * 8),
+            transcendentals=0,
+        ),
+    )(words0p, words1p)
+
+    mf = mf.reshape(h, w0pad)[:, :w0]
+    sf = jnp.floor(mf / PACK_S)
+    first0 = (mf - sf * PACK_S).astype(jnp.int32)
+    cost0 = sf.astype(jnp.int32) + pop0
+    mrf = mrf.reshape(h, w1pad)[:, :w1]
+    sr = jnp.floor(mrf / PACK_S)
+    first1 = (mrf - sr * PACK_S).astype(jnp.int32)
+    cost1 = sr.astype(jnp.int32)
+    if no_dupes:
+        ml = ml.reshape(h, w0pad)[:, :w0]
+        sl = jnp.floor(ml / PACK_S)
+        last0 = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
+        mrl = mrl.reshape(h, w1pad)[:, :w1]
+        srl = jnp.floor(mrl / PACK_S)
+        last1 = (PACK_S - 1) - (mrl - srl * PACK_S).astype(jnp.int32)
+    else:
+        last0 = None
+        last1 = None
+    return (cost0, first0, last0), (cost1, first1, last1)
+
+
+def row_minima_consistency_pallas(
+    bits0,
+    bits1,
+    no_dupes: bool,
+    *,
+    tile_i: int = DEF_TILE_I,
+    tile_j: int = DEF_TILE_J,
+    interpret: bool = False,
+):
+    """Fused forward+reverse minima for the Consistency variant: one sweep of
+    the cost matrix yields, per row, both the left->right and right->left
+    (cost, first[, last]) minima — ~1.8x cheaper than two plain passes.
+
+    Returns ((cost0, first0, last0), (cost1, first1, last1)); the ``last``
+    entries are None unless ``no_dupes``.
+    """
+    from ..descriptor import pack_bits
+
+    h, w0, nbits = bits0.shape
+    w1 = bits1.shape[1]
+    if max(w0, w1) >= PACK_S:
+        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
+    words0 = pack_bits(bits0)
+    words1 = pack_bits(bits1)
+    pop0 = jnp.sum(bits0.astype(jnp.int32), axis=-1)
+    want_j = min(tile_j, max(128, ((w1 + 127) // 128) * 128), UNPACK_SEG)
+    tile_j = 128
+    while tile_j * 2 <= want_j:
+        tile_j *= 2
+    tile_i = min(tile_i, max(128, ((w0 + 127) // 128) * 128))
+    return _row_minima_consistency_words(
+        words0,
+        words1,
+        pop0,
+        nbits=nbits,
+        no_dupes=no_dupes,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        interpret=interpret,
+    )
 
 
 def row_minima_pallas(

@@ -61,3 +61,41 @@ def test_row_minima_pallas_nonuniform_widths(rng):
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+@pytest.mark.parametrize("no_dupes", [True, False])
+def test_consistency_fused_matches_two_pass(rng, no_dupes):
+    """The fused forward+reverse kernel must equal two plain passes."""
+    from libbicos_tpu.kernels.hamming import row_minima_consistency_pallas
+
+    bits0 = rng.random((3, 300, 126)) < 0.5
+    bits1 = rng.random((3, 300, 126)) < 0.5
+    bits1[:, 200] = bits1[:, 10]  # ties in the right row
+    bits0[:, 150] = bits0[:, 20]  # ties in the left row
+    (c0, f0, l0), (c1, f1, l1) = row_minima_consistency_pallas(
+        bits0, bits1, no_dupes, interpret=True
+    )
+    wc0, wf0, wl0 = search.row_minima_xla(bits0, bits1, no_dupes)
+    wc1, wf1, wl1 = search.row_minima_xla(bits1, bits0, no_dupes)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(wc0))
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(wf0))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(wc1))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(wf1))
+    if no_dupes:
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(wl0))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(wl1))
+
+
+def test_consistency_fused_through_search(rng):
+    from conftest import make_stack_pair
+
+    s0, s1, _ = make_stack_pair(rng, 6, 4, 40)
+    b0 = descriptor.descriptor_bits(s0, TransformMode.LIMITED)
+    b1 = descriptor.descriptor_bits(s1, TransformMode.LIMITED)
+    for variant in (Consistency(1, True), Consistency(2, False),
+                    Consistency(0, True)):
+        want = np.asarray(search.search(b0, b1, variant, backend="xla"))
+        got = np.asarray(
+            search.search(b0, b1, variant, backend="pallas_interpret")
+        )
+        np.testing.assert_array_equal(got, want)
