@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Per-stage + integration benchmark suite.
+
+Mirrors the reference's Google-Benchmark suite (``/root/reference/bench/
+cuda.cu``): descriptor-transform, Hamming-scan and agree microbenches at the
+synthetic 3300x2200 resolution (bench/cuda.cu:44), plus ``bench_integration``
+over n in {6, 8, 12, 16} x subpixel step in {0, .25, .20, .15, .10}
+(bench/cuda.cu:297-323,397-401) on synthetic projected-pattern stacks (the
+real dataset is not vendored upstream). Seed 0x600DF00D preserved
+(bench/cuda.cu:39).
+
+Measurement protocol (this environment): executions with identical inputs
+can be deduped by the runtime, so every timed iteration perturbs its input
+and fetches a result scalar.
+
+Output: one JSON object per line on stdout. Run everything:
+    python bench/suite.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")  # repo root
+
+
+def _fetch(out):
+    import jax
+
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    idx = (0,) * leaf.ndim
+    return float(np.asarray(leaf[idx]).reshape(()))
+
+
+def timeit(fn, make_args, reps):
+    """min-of-reps ms; make_args(k) must return fresh (perturbed) inputs."""
+    fn(*make_args(0))  # compile
+    _fetch(fn(*make_args(1)))
+    ts = []
+    for k in range(reps):
+        args = make_args(k + 2)
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _fetch(out)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return min(ts)
+
+
+def emit(name, ms, extra=None):
+    rec = {"bench": name, "ms": round(ms, 2)}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes (CI smoke)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import libbicos_tpu as bicos
+    from libbicos_tpu import agree as A
+    from libbicos_tpu import descriptor as D
+    from libbicos_tpu import search as S
+    from libbicos_tpu.config import Precision, TransformMode
+    from libbicos_tpu.io import synthetic_stack_pair
+
+    h = args.height or (128 if args.quick else 2200)
+    w = args.width or (256 if args.quick else 3300)
+    reps = args.reps
+    backend = S.resolve_backend("auto")
+    print(f"# device={jax.devices()[0]} backend={backend} {w}x{h}",
+          file=sys.stderr)
+
+    mp = h * w / 1e6
+
+    # --- descriptor transform (bench/cuda.cu:258-295 analogue) ----------
+    for n, mode in [(10, TransformMode.LIMITED), (33, TransformMode.LIMITED),
+                    (10, TransformMode.FULL)]:
+        s0, _, _ = synthetic_stack_pair(n, h, w)
+        d0 = jnp.asarray(s0)
+        tf = jax.jit(lambda s, m=mode: D.pack_bits(D.descriptor_bits(s, m)))
+        ms = timeit(tf, lambda k: (d0 ^ np.uint8(k),), reps)
+        emit(f"transform_{mode.name.lower()}_n{n}", ms,
+             {"mp_per_s": round(mp / (ms / 1e3), 1)})
+
+    # --- Hamming scan (bench/cuda.cu:192-256 analogue) -------------------
+    for n, mode in [(10, TransformMode.LIMITED), (33, TransformMode.LIMITED),
+                    (16, TransformMode.FULL)]:
+        s0, s1, _ = synthetic_stack_pair(n, h, w)
+        d0, d1 = jnp.asarray(s0), jnp.asarray(s1)
+        tf = jax.jit(lambda s, m=mode: D.descriptor_bits(s, m))
+        bits1 = jax.block_until_ready(tf(d1))
+        nd = jax.jit(lambda a, b: S.search(a, b, bicos.NoDuplicates(),
+                                           backend=backend))
+        ms = timeit(nd, lambda k: (tf(d0 ^ np.uint8(k)), bits1), reps)
+        nbits = bits1.shape[-1]
+        emit(f"search_nodupes_{mode.name.lower()}_n{n}_b{nbits}", ms,
+             {"mp_per_s": round(mp / (ms / 1e3), 1)})
+        cons = jax.jit(lambda a, b: S.search(
+            a, b, bicos.Consistency(max_lr_diff=1, no_dupes=False),
+            backend=backend))
+        ms = timeit(cons, lambda k: (tf(d0 ^ np.uint8(k)), bits1), reps)
+        emit(f"search_consistency_{mode.name.lower()}_n{n}_b{nbits}", ms,
+             {"mp_per_s": round(mp / (ms / 1e3), 1)})
+
+    # --- agree (bench/cuda.cu:99-180 analogue) ---------------------------
+    n = 10
+    s0, s1, _ = synthetic_stack_pair(n, h, w)
+    d0, d1 = jnp.asarray(s0), jnp.asarray(s1)
+    tf = jax.jit(lambda s: D.descriptor_bits(s, TransformMode.LIMITED))
+    srch = jax.jit(lambda a, b: S.search(a, b, bicos.NoDuplicates(),
+                                         backend=backend))
+    disp = jax.block_until_ready(srch(tf(d0), tf(d1)))
+    ai = jax.jit(lambda d, a, b: A.agree_integer(
+        d, a, b, 0.9, 2.0 * n, Precision.SINGLE))
+    ms = timeit(ai, lambda k: (disp, d0 ^ np.uint8(k), d1), reps)
+    emit(f"agree_integer_n{n}", ms, {"mp_per_s": round(mp / (ms / 1e3), 1)})
+    asp = jax.jit(lambda d, a, b: A.agree_subpixel(
+        d, a, b, 0.9, 0.25, 2.0 * n, Precision.SINGLE))
+    ms = timeit(asp, lambda k: (disp, d0 ^ np.uint8(k), d1), reps)
+    emit(f"agree_subpixel_n{n}_step0.25", ms,
+         {"mp_per_s": round(mp / (ms / 1e3), 1)})
+
+    # --- integration (bench/cuda.cu:297-323 analogue) --------------------
+    steps = [0] if args.quick else [0, 0.25, 0.10]
+    for n in ([6] if args.quick else [6, 8, 12, 16]):
+        s0, s1, _ = synthetic_stack_pair(n, h, w)
+        d0, d1 = jnp.asarray(s0), jnp.asarray(s1)
+        for step in steps:
+            cfg = bicos.Config(
+                nxcorr_threshold=0.9,
+                subpixel_step=step or None,
+                mode=TransformMode.FULL,
+            )
+            fn = lambda a, b, c=cfg: bicos.match(a, b, c, backend=backend)
+            ms = timeit(fn, lambda k: (d0 ^ np.uint8(k), d1), reps)
+            emit(f"integration_n{n}_step{step}", ms,
+                 {"mp_per_s": round(mp / (ms / 1e3), 1)})
+
+
+if __name__ == "__main__":
+    main()
