@@ -558,6 +558,51 @@ def _row_minima_consistency_words(
     return (cost0, first0, last0), (cost1, first1, last1)
 
 
+def _snap_tiles(w0: int, w1: int, tile_i: int, tile_j: int):
+    """tile_j must divide the padded width (a multiple of UNPACK_SEG), so it
+    is snapped to a power of two in [128, UNPACK_SEG]."""
+    want_j = min(tile_j, max(128, ((w1 + 127) // 128) * 128), UNPACK_SEG)
+    tj = 128
+    while tj * 2 <= want_j:
+        tj *= 2
+    ti = min(tile_i, max(128, ((w0 + 127) // 128) * 128))
+    return ti, tj
+
+
+def _pop_from_words(words):
+    return jnp.sum(
+        jax.lax.population_count(words).astype(jnp.int32), axis=-1
+    )
+
+
+def row_minima_consistency_words(
+    words0,
+    words1,
+    *,
+    nbits: int,
+    no_dupes: bool,
+    tile_i: int = DEF_TILE_I,
+    tile_j: int = DEF_TILE_J,
+    interpret: bool = False,
+):
+    """Packed-words surface of the fused Consistency kernel."""
+    h, w0, _ = words0.shape
+    w1 = words1.shape[1]
+    if max(w0, w1) >= PACK_S:
+        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
+    tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
+    return _row_minima_consistency_words(
+        words0,
+        words1,
+        _pop_from_words(words0),
+        nbits=nbits,
+        no_dupes=no_dupes,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        interpret=interpret,
+    )
+
+
 def row_minima_consistency_pallas(
     bits0,
     bits1,
@@ -576,24 +621,40 @@ def row_minima_consistency_pallas(
     """
     from ..descriptor import pack_bits
 
-    h, w0, nbits = bits0.shape
-    w1 = bits1.shape[1]
-    if max(w0, w1) >= PACK_S:
-        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
-    words0 = pack_bits(bits0)
-    words1 = pack_bits(bits1)
-    pop0 = jnp.sum(bits0.astype(jnp.int32), axis=-1)
-    want_j = min(tile_j, max(128, ((w1 + 127) // 128) * 128), UNPACK_SEG)
-    tile_j = 128
-    while tile_j * 2 <= want_j:
-        tile_j *= 2
-    tile_i = min(tile_i, max(128, ((w0 + 127) // 128) * 128))
-    return _row_minima_consistency_words(
-        words0,
-        words1,
-        pop0,
+    nbits = bits0.shape[-1]
+    return row_minima_consistency_words(
+        pack_bits(bits0),
+        pack_bits(bits1),
         nbits=nbits,
         no_dupes=no_dupes,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        interpret=interpret,
+    )
+
+
+def row_minima_pallas_words(
+    words0,
+    words1,
+    *,
+    nbits: int,
+    need_last: bool,
+    tile_i: int = DEF_TILE_I,
+    tile_j: int = DEF_TILE_J,
+    interpret: bool = False,
+):
+    """Packed-words surface of the Hamming-scan kernel (production path)."""
+    h, w0, _ = words0.shape
+    w1 = words1.shape[1]
+    if max(w0, w1) >= PACK_S:
+        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
+    tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
+    return _row_minima_words(
+        words0,
+        words1,
+        _pop_from_words(words0),
+        nbits=nbits,
+        need_last=need_last,
         tile_i=tile_i,
         tile_j=tile_j,
         interpret=interpret,
@@ -622,24 +683,10 @@ def row_minima_pallas(
     """
     from ..descriptor import pack_bits
 
-    h, w0, nbits = bits0.shape
-    w1 = bits1.shape[1]
-    if max(w0, w1) >= PACK_S:
-        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
-    words0 = pack_bits(bits0)
-    words1 = pack_bits(bits1)
-    pop0 = jnp.sum(bits0.astype(jnp.int32), axis=-1)
-    # tile_j must divide the padded width (a multiple of UNPACK_SEG), so it
-    # is snapped to a power of two in [128, UNPACK_SEG].
-    want_j = min(tile_j, max(128, ((w1 + 127) // 128) * 128), UNPACK_SEG)
-    tile_j = 128
-    while tile_j * 2 <= want_j:
-        tile_j *= 2
-    tile_i = min(tile_i, max(128, ((w0 + 127) // 128) * 128))
-    return _row_minima_words(
-        words0,
-        words1,
-        pop0,
+    nbits = bits0.shape[-1]
+    return row_minima_pallas_words(
+        pack_bits(bits0),
+        pack_bits(bits1),
         nbits=nbits,
         need_last=need_last,
         tile_i=tile_i,

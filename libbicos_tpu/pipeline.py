@@ -49,9 +49,16 @@ def _validate_inputs(stack0, stack1):
 
 def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
     n = stack0.shape[0]
-    bits0 = _descriptor.descriptor_bits(stack0, cfg.mode)
-    bits1 = _descriptor.descriptor_bits(stack1, cfg.mode)
-    disp = _search.search(bits0, bits1, cfg.variant, backend=backend)
+    # Packed-words fast path: descriptors are OR-ed into uint32 lanes as the
+    # comparisons are computed — no (H, W, B) boolean tensors.
+    from .config import actual_bits
+
+    nbits = actual_bits(n, cfg.mode)
+    words0 = _descriptor.descriptor_words(stack0, cfg.mode)
+    words1 = _descriptor.descriptor_words(stack1, cfg.mode)
+    disp = _search.search_words(
+        words0, words1, nbits, cfg.variant, backend=backend
+    )
 
     if cfg.nxcorr_threshold is None:
         return disp, None

@@ -81,11 +81,21 @@ def _row_chunk_minima(w0, w1, need_last: bool):
 def row_minima_xla(
     bits0, bits1, need_last: bool, row_chunk: int = 8
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Bit-plane wrapper over :func:`row_minima_xla_words` (tests/oracle
+    surface; the pipeline passes packed words directly)."""
+    return row_minima_xla_words(
+        pack_bits(bits0), pack_bits(bits1), need_last, row_chunk
+    )
+
+
+def row_minima_xla_words(
+    words0, words1, need_last: bool, row_chunk: int = 8
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Forward search minima of every left pixel against its full right row.
 
     Args:
-      bits0: (H, W0, B) bool descriptor bit planes (left/query side).
-      bits1: (H, W1, B) bool (right/database side).
+      words0: (H, W0, nw) uint32 packed descriptors (left/query side).
+      words1: (H, W1, nw) uint32 (right/database side).
       need_last: also compute the last-occurrence argmin (for NoDuplicates).
 
     Returns:
@@ -93,12 +103,10 @@ def row_minima_xla(
       first (H, W0) int32 — first column attaining it,
       last  (H, W0) int32 or None — last column attaining it.
     """
-    h, w0, _ = bits0.shape
-    w1 = bits1.shape[1]
+    h, w0, _ = words0.shape
+    w1 = words1.shape[1]
     if max(w0, w1) > PACK_K:
         raise ValueError(f"image width > {PACK_K} not supported yet")
-    words0 = pack_bits(bits0)
-    words1 = pack_bits(bits1)
 
     pad = (-h) % row_chunk
     if pad:
@@ -122,17 +130,15 @@ def row_minima_xla(
     return cost, first, last
 
 
-def _row_minima(bits0, bits1, need_last: bool, backend: str):
-    if backend == "pallas":
-        from .kernels.hamming import row_minima_pallas
+def _row_minima_w(words0, words1, nbits, need_last: bool, backend: str):
+    if backend in ("pallas", "pallas_interpret"):
+        from .kernels.hamming import row_minima_pallas_words
 
-        return row_minima_pallas(bits0, bits1, need_last=need_last)
-    if backend == "pallas_interpret":
-        from .kernels.hamming import row_minima_pallas
-
-        return row_minima_pallas(bits0, bits1, need_last=need_last,
-                                 interpret=True)
-    return row_minima_xla(bits0, bits1, need_last)
+        return row_minima_pallas_words(
+            words0, words1, nbits=nbits, need_last=need_last,
+            interpret=(backend == "pallas_interpret"),
+        )
+    return row_minima_xla_words(words0, words1, need_last)
 
 
 def resolve_backend(backend: str) -> str:
@@ -146,15 +152,26 @@ def search(bits0, bits1, variant: SearchVariant, backend: str = "auto"):
     """Full correspondence search -> (H, W0) int16 disparity.
 
     Bit-exact to the reference's integer disparity output (``bicos.hpp:78-113``
-    with INVALID = -32768).
+    with INVALID = -32768). Bit-plane surface; the pipeline calls
+    :func:`search_words` with packed descriptors directly.
     """
+    nbits = bits0.shape[-1]
+    return search_words(
+        pack_bits(bits0), pack_bits(bits1), nbits, variant, backend
+    )
+
+
+def search_words(
+    words0, words1, nbits: int, variant: SearchVariant, backend: str = "auto"
+):
+    """Correspondence search on packed uint32 descriptor words."""
     backend = resolve_backend(backend)
-    h, w0, _ = bits0.shape
-    w1 = bits1.shape[1]
+    h, w0, _ = words0.shape
+    w1 = words1.shape[1]
     col0 = jnp.arange(w0, dtype=jnp.int32)[None, :]
 
     if isinstance(variant, NoDuplicates):
-        _, first, last = _row_minima(bits0, bits1, True, backend)
+        _, first, last = _row_minima_w(words0, words1, nbits, True, backend)
         valid = first == last
         disp = col0 - first
     else:
@@ -163,17 +180,19 @@ def search(bits0, bits1, variant: SearchVariant, backend: str = "auto"):
         if backend in ("pallas", "pallas_interpret"):
             # Fused kernel: forward + reverse minima from ONE sweep of the
             # cost matrix (kernels/hamming.py) — ~1.8x over two passes.
-            from .kernels.hamming import row_minima_consistency_pallas
+            from .kernels.hamming import row_minima_consistency_words
 
             (_, first0, last0), (_, first1, last1) = (
-                row_minima_consistency_pallas(
-                    bits0, bits1, nodupes,
+                row_minima_consistency_words(
+                    words0, words1, nbits=nbits, no_dupes=nodupes,
                     interpret=(backend == "pallas_interpret"),
                 )
             )
         else:
-            _, first0, last0 = _row_minima(bits0, bits1, nodupes, backend)
-            _, first1, last1 = _row_minima(bits1, bits0, nodupes, backend)
+            _, first0, last0 = _row_minima_w(
+                words0, words1, nbits, nodupes, backend)
+            _, first1, last1 = _row_minima_w(
+                words1, words0, nbits, nodupes, backend)
         valid = jnp.ones((h, w0), dtype=bool)
         rvalid = jnp.ones((h, w1), dtype=bool)
         if nodupes:

@@ -74,3 +74,17 @@ def test_required_vs_actual_bits():
         assert required_bits(n, TransformMode.FULL) == actual_bits(
             n, TransformMode.FULL
         )
+
+
+def test_descriptor_words_equals_packed_bits(rng):
+    """The fused word path must match pack_bits(descriptor_bits(...))."""
+    import numpy as np
+    from libbicos_tpu import TransformMode, descriptor
+
+    for n, mode in [(2, TransformMode.LIMITED), (5, TransformMode.LIMITED),
+                    (33, TransformMode.LIMITED), (6, TransformMode.FULL),
+                    (16, TransformMode.FULL)]:
+        s = rng.integers(0, 256, (n, 3, 7), dtype=np.uint8)
+        want = descriptor.pack_bits(descriptor.descriptor_bits(s, mode))
+        got = descriptor.descriptor_words(s, mode)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
