@@ -1,0 +1,292 @@
+"""Pallas TPU kernel for the fused NXCORR "agree" stage.
+
+TPU-native re-design of the reference's validation kernels
+(``/root/reference/include/impl/cuda/agree.cuh:110-259``): recompute the
+normalized cross-correlation between each matched pixel pair's temporal
+series, optionally sweeping a subpixel parabola, and invalidate matches
+below the threshold.
+
+Why a kernel: the XLA formulation gathers the right-hand series with
+``take_along_axis`` over HBM (three ~240M-element gathers for the subpixel
+variant) and round-trips (n, H, W) float32 temporaries per sweep step —
+measured ~1.8 s at 33x2200x3300. Here the whole stereo row pair lives in
+VMEM, the matched series are gathered on-chip, and the x sweep runs out of
+registers.
+
+Gather strategy: Mosaic's lane shuffle (``tpu.dynamic_gather``) only spans a
+single 128-lane vreg, so the row gather is hierarchical — for each 128-wide
+output chunk, loop over the W/128 source blocks, shuffle within the block,
+and select where the index's block id matches. One shuffle+select pair per
+(output chunk x source block).
+
+Exactness: NXCORR accumulations run as serial chains over the stack axis in
+the reference's loop order and are free to contract into fused
+multiply-adds — exactly the reference arithmetic (``__fma_rn``,
+``agree.cuh:67-97``). Algebraic rewrites that genuinely change results are
+barriered off (x/sqrt(y) -> x*rsqrt(y); division by n -> reciprocal
+multiply). The subpixel interpolation reproduces round-half-even + C-style
+modular casts to the input dtype (``agree.cuh:235``) and the
+float32-accumulated x grid (``agree.cuh:168``). Expected parity vs the
+(non-fma) oracle transcription: equal to within 1-2 ulps of NXCORR, with
+identical validity decisions away from exact threshold ties — the
+reference's own CPU and CUDA backends differ from each other in the same
+way.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_BATCH = 8
+CHUNK = 512
+BLK = 128  # dynamic_gather span
+
+INVALID_I32 = -32768
+
+
+def _gather_row(load_blk, bi, li, nblk: int):
+    """Gather ``row[s, col1[s, j]]`` for one output chunk.
+
+    load_blk(b) must return source block b as (8, BLK) f32 (sliced straight
+    off the input ref — Mosaic has no dynamic_slice on values); bi/li:
+    (8, CHUNK) block / lane indices. Returns (8, CHUNK) f32.
+    """
+    chunk = bi.shape[1]
+    nsub = chunk // BLK
+    outs = []
+    for s in range(nsub):
+        sl = slice(s * BLK, (s + 1) * BLK)
+        bi_s = bi[:, sl]
+        li_s = li[:, sl]
+
+        def body(b, acc):
+            g = jnp.take_along_axis(load_blk(b), li_s, axis=1)
+            return jnp.where(bi_s == b, g, acc)
+
+        acc = jax.lax.fori_loop(
+            0, nblk, body, jnp.zeros((ROW_BATCH, BLK), jnp.float32)
+        )
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
+
+
+def _agree_kernel(
+    disp_ref,  # (8, WP) i32
+    s0_ref,  # (n, 8, WP) input dtype
+    s1_ref,  # (n, 8, WP)
+    out_ref,  # (8, WP) f32 — refined disparity, NaN invalid
+    corr_ref,  # (8, WP) f32 — NXCORR, NaN where not computed
+    *,
+    n: int,
+    w: int,
+    wp: int,
+    threshold: float,
+    minvar: Optional[float],
+    xs: tuple,  # () for the integer variant
+    in_mod: int,  # modular mask for the input dtype (0xFF / 0xFFFF)
+    interpret: bool,
+):
+    nblk = wp // BLK
+    # Guard against XLA's value-changing algebraic rewrites in interpret
+    # mode (division by a constant -> reciprocal multiply; x/sqrt(y) ->
+    # x*rsqrt(y)). Mosaic lowers ops literally, and optimization_barrier has
+    # no TPU-kernel lowering, so on hardware this is the identity.
+    B = jax.lax.optimization_barrier if interpret else (lambda x: x)
+    fn = B(jnp.float32(n))
+    d = disp_ref[...]
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROW_BATCH, wp), 1)
+    valid = d != INVALID_I32
+    col1 = col - d
+    inb = (col1 >= 0) & (col1 < w)
+    keep = valid & inb
+    col1c = jnp.clip(col1, 0, w - 1)
+    border = (col1c == 0) | (col1c == w - 1)
+
+    def nxcorr_serial(diff0, var0, series):
+        """Serial-order NXCORR accumulation matching the oracle transcription
+        (mult-then-add, two roundings per step; an optimization barrier stops
+        the compiler from contracting the pattern into a single-rounding fma,
+        which shifts results by 1 ulp and can flip threshold decisions).
+
+        diff0: list of n (8, C) f32; series: list of n (8, C) f32.
+        """
+        m1 = jnp.zeros_like(series[0])
+        for t in range(n):
+            m1 = m1 + series[t]
+        m1 = m1 / fn
+        covar = jnp.zeros_like(m1)
+        var1 = jnp.zeros_like(m1)
+        for t in range(n):
+            d1 = series[t] - m1
+            # Free to contract into fma: that IS the reference arithmetic
+            # (__fma_rn on CUDA, agree.cuh:67-97; gcc fp-contract on CPU).
+            covar = diff0[t] * d1 + covar
+            var1 = d1 * d1 + var1
+        nxc = covar / B(jnp.sqrt(var0 * var1))
+        if minvar is not None:
+            bad = (var0 < jnp.float32(minvar)) | (var1 < jnp.float32(minvar))
+            nxc = jnp.where(bad, jnp.float32(-1.0), nxc)
+        return nxc
+
+    for oc in range(wp // CHUNK):
+        cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
+        c1 = col1c[:, cs]
+        i1 = c1
+        i0 = jnp.maximum(c1 - 1, 0)
+        i2 = jnp.minimum(c1 + 1, w - 1)
+
+        # Left series + stats for this chunk (serial reference order).
+        # Mosaic has no direct u8/u16 -> f32 cast; hop through int32.
+        s0c = [s0_ref[t, :, cs].astype(jnp.int32).astype(jnp.float32)
+               for t in range(n)]
+        m0 = jnp.zeros((ROW_BATCH, CHUNK), jnp.float32)
+        for t in range(n):
+            m0 = m0 + s0c[t]
+        m0 = m0 / fn
+        diff0 = [s0c[t] - m0 for t in range(n)]
+        var0 = jnp.zeros((ROW_BATCH, CHUNK), jnp.float32)
+        for t in range(n):
+            var0 = diff0[t] * diff0[t] + var0
+
+        # Gather the matched right series (and neighbours when sweeping).
+        y1 = []
+        y0 = []
+        y2 = []
+        for t in range(n):
+            def load_blk(b, t=t):
+                blk = s1_ref[t, :, pl.ds(b * BLK, BLK)]
+                return blk.astype(jnp.int32).astype(jnp.float32)
+
+            y1.append(_gather_row(load_blk, i1 >> 7, i1 & 127, nblk))
+            if xs:
+                y0.append(_gather_row(load_blk, i0 >> 7, i0 & 127, nblk))
+                y2.append(_gather_row(load_blk, i2 >> 7, i2 & 127, nblk))
+
+        nxc_int = nxcorr_serial(diff0, var0, y1)
+
+        if xs:
+            pa = [jnp.float32(0.5) * (y0[t] - 2.0 * y1[t] + y2[t])
+                  for t in range(n)]
+            pb = [jnp.float32(0.5) * (y2[t] - y0[t]) for t in range(n)]
+            best_nxc = jnp.full((ROW_BATCH, CHUNK), -1.0, jnp.float32)
+            best_x = jnp.zeros((ROW_BATCH, CHUNK), jnp.float32)
+            for x in xs:
+                xf = jnp.float32(x)
+                interp = []
+                for t in range(n):
+                    # Evaluation order matches the reference expression
+                    # a*x*x + b*x + c left-to-right ((a*x)*x, agree.hpp:170);
+                    # a*(x*x) differs in the last ulp for non-power-of-two x.
+                    v = jnp.round(((pa[t] * xf) * xf + pb[t] * xf) + y1[t])
+                    # round-half-even + C-style modular cast (agree.cuh:235)
+                    iv = v.astype(jnp.int32) & jnp.int32(in_mod)
+                    interp.append(iv.astype(jnp.float32))
+                nxc = nxcorr_serial(diff0, var0, interp)
+                upd = best_nxc < nxc
+                best_nxc = jnp.where(upd, nxc, best_nxc)
+                best_x = jnp.where(upd, xf, best_x)
+            corr_val = jnp.where(border[:, cs], nxc_int, best_nxc)
+            ret = jnp.where(
+                border[:, cs],
+                d[:, cs].astype(jnp.float32),
+                d[:, cs].astype(jnp.float32) - best_x,
+            )
+        else:
+            corr_val = nxc_int
+            ret = d[:, cs].astype(jnp.float32)
+
+        k = keep[:, cs]
+        nan = jnp.float32(jnp.nan)
+        corr_ref[:, cs] = jnp.where(k, corr_val, nan)
+        final = k & ~(corr_val < jnp.float32(threshold))
+        out_ref[:, cs] = jnp.where(final, ret, nan)
+
+
+def _pad2(x, mult0, mult1, value=0):
+    p0 = (-x.shape[-2]) % mult0
+    p1 = (-x.shape[-1]) % mult1
+    if p0 == 0 and p1 == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 2) + [(0, p0), (0, p1)]
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("threshold", "minvar", "xs", "interpret"),
+)
+def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
+    n, h, w = stack0.shape
+    d32 = _pad2(disp.astype(jnp.int32), ROW_BATCH, CHUNK, value=INVALID_I32)
+    s0 = _pad2(stack0, ROW_BATCH, CHUNK)
+    s1 = _pad2(stack1, ROW_BATCH, CHUNK)
+    hp, wp = d32.shape
+    in_mod = 0xFFFF if stack0.dtype == jnp.uint16 else 0xFF
+
+    kernel = functools.partial(
+        _agree_kernel,
+        n=n, w=w, wp=wp,
+        threshold=threshold, minvar=minvar, xs=xs, in_mod=in_mod,
+        interpret=interpret,
+    )
+    out, corr = pl.pallas_call(
+        kernel,
+        grid=(hp // ROW_BATCH,),
+        in_specs=[
+            pl.BlockSpec((ROW_BATCH, wp), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ROW_BATCH, wp), lambda r: (0, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ROW_BATCH, wp), lambda r: (0, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ROW_BATCH, wp), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BATCH, wp), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(d32, s0, s1)
+    return out[:h, :w], corr[:h, :w]
+
+
+def agree_pallas(
+    disp,
+    stack0,
+    stack1,
+    threshold: float,
+    step: Optional[float],
+    minvar: Optional[float],
+    *,
+    interpret: bool = False,
+):
+    """Fused agree: returns (refined f32 disparity with NaN invalid, corrmap).
+
+    ``step=None`` selects the integer variant (the caller converts back to
+    int16 semantics); SINGLE precision only — DOUBLE falls back to the XLA
+    path in the pipeline.
+    """
+    from ..agree import subpixel_xgrid
+
+    xs = tuple(subpixel_xgrid(step)) if step is not None else ()
+    return _agree_call(
+        disp, stack0, stack1,
+        threshold=float(threshold),
+        minvar=None if minvar is None else float(minvar),
+        xs=xs,
+        interpret=interpret,
+    )

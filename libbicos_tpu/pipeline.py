@@ -64,7 +64,29 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
         return disp, None
 
     minvar = None if cfg.min_variance is None else cfg.min_variance * n
-    if cfg.subpixel_step is not None:
+    from .config import Precision
+
+    if backend in ("pallas", "pallas_interpret") and (
+        cfg.precision == Precision.SINGLE
+    ):
+        # Fused VMEM kernel (kernels/agree.py); DOUBLE falls back to XLA
+        # (Mosaic has no f64).
+        from .kernels.agree import agree_pallas
+
+        out_f, corr = agree_pallas(
+            disp, stack0, stack1, cfg.nxcorr_threshold,
+            cfg.subpixel_step, minvar,
+            interpret=(backend == "pallas_interpret"),
+        )
+        if cfg.subpixel_step is not None:
+            out = out_f
+        else:
+            out = jnp.where(
+                jnp.isnan(out_f),
+                jnp.int32(-32768),
+                jnp.nan_to_num(out_f).astype(jnp.int32),
+            ).astype(jnp.int16)
+    elif cfg.subpixel_step is not None:
         out, corr = _agree.agree_subpixel(
             disp, stack0, stack1, cfg.nxcorr_threshold, cfg.subpixel_step,
             minvar, cfg.precision,

@@ -10,9 +10,15 @@ import os
 os.environ["JAX_PLATFORMS"] = os.environ.get("BICOS_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Strict f32 on the CPU backend: with excess precision enabled (the terminal
+# environment's default), XLA CPU evaluates fused f32 regions in wider
+# registers, so NXCORR values drift ulps away from the reference arithmetic
+# (TPU hardware is strict f32 and unaffected).
+flags = flags.replace("--xla_allow_excess_precision=true", "")
+if "xla_allow_excess_precision" not in flags:
+    flags = (flags + " --xla_allow_excess_precision=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

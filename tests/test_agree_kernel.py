@@ -1,0 +1,124 @@
+"""Fused Pallas agree kernel: parity with the oracle / XLA path.
+
+Correlation values are compared to within a few ulps: the kernel contracts
+multiply-add chains into fmas exactly like the reference's CUDA backend
+(``__fma_rn``, agree.cuh:67-97), while the oracle transcription rounds the
+product separately — the reference's own CPU and CUDA backends differ from
+each other the same way. Validity decisions and disparities must match
+exactly (threshold ties at 1-ulp resolution don't occur on the seeded data).
+"""
+
+import numpy as np
+import pytest
+
+from libbicos_tpu import NoDuplicates, TransformMode
+from libbicos_tpu import _oracle as oracle
+from libbicos_tpu import agree as xagree
+from libbicos_tpu.kernels.agree import agree_pallas
+
+CORR_TOL = dict(rtol=4e-6, atol=4e-6)
+
+
+def _assert_corr_close(got, want):
+    got = np.asarray(got)
+    want = np.asarray(want)
+    assert ((np.isnan(got)) == (np.isnan(want))).all()
+    m = ~np.isnan(want)
+    np.testing.assert_allclose(got[m], want[m], **CORR_TOL)
+
+
+def _disp_for(rng, n, h, w, dtype=np.uint8):
+    from conftest import make_stack_pair
+
+    s0, s1, _ = make_stack_pair(rng, n, h, w, dtype)
+    from libbicos_tpu import descriptor, search
+
+    b0 = descriptor.descriptor_bits(s0, TransformMode.LIMITED)
+    b1 = descriptor.descriptor_bits(s1, TransformMode.LIMITED)
+    disp = np.asarray(search.search(b0, b1, NoDuplicates(), backend="xla"))
+    return s0, s1, disp
+
+
+@pytest.mark.parametrize("minvar", [None, 20.0])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_agree_kernel_integer(rng, minvar, dtype):
+    s0, s1, disp = _disp_for(rng, 7, 5, 40, dtype)
+    out, corr = agree_pallas(disp, s0, s1, 0.5, None, minvar, interpret=True)
+    want_d, want_c = oracle.agree(disp.copy(), s0, s1, 0.5, minvar)
+    out = np.asarray(out)
+    got_i16 = np.where(np.isnan(out), np.int16(-32768),
+                       np.nan_to_num(out).astype(np.int16))
+    np.testing.assert_array_equal(got_i16, want_d)
+    _assert_corr_close(corr, want_c)
+
+
+@pytest.mark.parametrize("step", [0.5, 0.25])
+def test_agree_kernel_subpixel(rng, step):
+    s0, s1, disp = _disp_for(rng, 6, 4, 40)
+    out, corr = agree_pallas(disp, s0, s1, 0.5, step, None, interpret=True)
+    want_d, want_c = oracle.agree_subpixel(
+        disp.copy(), s0, s1, 0.5, step, None, np.uint8
+    )
+    out = np.asarray(out)
+    assert (np.isnan(out) == np.isnan(want_d)).all()
+    m = ~np.isnan(want_d)
+    np.testing.assert_array_equal(out[m], want_d[m])
+    _assert_corr_close(corr, want_c)
+
+
+def test_agree_kernel_subpixel_minvar_u16(rng):
+    s0, s1, disp = _disp_for(rng, 5, 3, 36, np.uint16)
+    mv = 50.0 * 5
+    out, corr = agree_pallas(disp, s0, s1, 0.7, 0.5, mv, interpret=True)
+    want_d, want_c = oracle.agree_subpixel(
+        disp.copy(), s0, s1, 0.7, 0.5, mv, np.uint16
+    )
+    out = np.asarray(out)
+    assert (np.isnan(out) == np.isnan(want_d)).all()
+    m = ~np.isnan(want_d)
+    np.testing.assert_array_equal(out[m], want_d[m])
+    _assert_corr_close(corr, want_c)
+
+
+def test_agree_kernel_matches_xla_path(rng):
+    """Cross-check against the XLA agree (already oracle-pinned)."""
+    s0, s1, disp = _disp_for(rng, 8, 6, 48)
+    out, corr = agree_pallas(disp, s0, s1, 0.6, 0.5, 2.0 * 8, interpret=True)
+    want_out, want_corr = xagree.agree_subpixel(
+        disp, s0, s1, 0.6, 0.5, 2.0 * 8
+    )
+    out = np.asarray(out)
+    want_out = np.asarray(want_out)
+    assert (np.isnan(out) == np.isnan(want_out)).all()
+    m = ~np.isnan(want_out)
+    np.testing.assert_array_equal(out[m], want_out[m])
+    _assert_corr_close(corr, want_corr)
+
+
+def test_pipeline_pallas_agree_integration(rng):
+    """match() with backend=pallas_interpret (search + agree kernels fused)
+    must agree with the XLA backend: identical validity, disparities exact,
+    corr within fma tolerance."""
+    from conftest import make_stack_pair
+
+    import libbicos_tpu as bicos
+
+    s0, s1, _ = make_stack_pair(rng, 6, 4, 40)
+    for cfg in (
+        bicos.Config(nxcorr_threshold=0.5, min_variance=1.0),
+        bicos.Config(nxcorr_threshold=0.6, subpixel_step=0.25),
+        bicos.Config(nxcorr_threshold=0.5,
+                     variant=bicos.Consistency(max_lr_diff=1, no_dupes=True)),
+    ):
+        want_d, want_c = bicos.match(s0, s1, cfg, corrmap=True, backend="xla")
+        got_d, got_c = bicos.match(s0, s1, cfg, corrmap=True,
+                                   backend="pallas_interpret")
+        want_d = np.asarray(want_d)
+        got_d = np.asarray(got_d)
+        if want_d.dtype == np.int16:
+            np.testing.assert_array_equal(got_d, want_d)
+        else:
+            assert (np.isnan(got_d) == np.isnan(want_d)).all()
+            m = ~np.isnan(want_d)
+            np.testing.assert_array_equal(got_d[m], want_d[m])
+        _assert_corr_close(got_c, want_c)
