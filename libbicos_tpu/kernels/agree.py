@@ -77,11 +77,14 @@ def _gather_row(load_blk, bi, li, nblk: int):
 
 
 def _agree_kernel(
+    xs_ref,  # (1, XSPAD) f32 in SMEM — subpixel x grid (unused if empty)
     disp_ref,  # (8, WP) i32
     s0_ref,  # (n, 8, WP) input dtype
     s1_ref,  # (n, 8, WP)
     out_ref,  # (8, WP) f32 — refined disparity, NaN invalid
     corr_ref,  # (8, WP) f32 — NXCORR, NaN where not computed
+    bt_scratch,  # (128, WP) bf16 or None — MXU-gather series matrix
+    gout_scratch,  # (8, CHUNK, 128) f32 or None — MXU-gather dot outputs
     *,
     n: int,
     w: int,
@@ -90,6 +93,7 @@ def _agree_kernel(
     minvar: Optional[float],
     xs: tuple,  # () for the integer variant
     in_mod: int,  # modular mask for the input dtype (0xFF / 0xFFFF)
+    mxu_gather: bool,
     interpret: bool,
 ):
     nblk = wp // BLK
@@ -158,15 +162,62 @@ def _agree_kernel(
         y1 = []
         y0 = []
         y2 = []
-        for t in range(n):
-            def load_blk(b, t=t):
-                blk = s1_ref[t, :, pl.ds(b * BLK, BLK)]
-                return blk.astype(jnp.int32).astype(jnp.float32)
-
-            y1.append(_gather_row(load_blk, i1 >> 7, i1 & 127, nblk))
+        if mxu_gather:
+            # One-hot matmul gather: one (CHUNK, WP) @ (WP, 128) contraction
+            # per row delivers y1 (and the two parabola neighbours via
+            # lane-rolled copies of each series) for every shot at once —
+            # exact, since each dot row has a single 1 against u8 values
+            # that bf16 represents exactly. ~8x faster than the per-block
+            # shuffle loop, which drowns in fori overhead.
+            for r in range(ROW_BATCH):
+                # Series matrix for this image row: rows [0,n) the raw
+                # series, [n,2n) shifted right (value at col-1), [2n,3n)
+                # shifted left (value at col+1). Wrapped edge lanes only
+                # reach border pixels, which take the integer fallback.
+                bt_scratch[3 * n:128, :] = jnp.zeros(
+                    (128 - 3 * n, wp), jnp.bfloat16)
+                for t in range(n):
+                    rowf = (s1_ref[t, r:r + 1, :]
+                            .astype(jnp.int32).astype(jnp.float32))
+                    bt_scratch[t:t + 1, :] = rowf.astype(jnp.bfloat16)
+                    if xs:
+                        # 32-bit lane rotates (bf16 rotate doesn't lower);
+                        # roll requires non-negative shifts: wp-1 == -1.
+                        bt_scratch[n + t:n + t + 1, :] = pltpu.roll(
+                            rowf, 1, axis=1).astype(jnp.bfloat16)
+                        bt_scratch[2 * n + t:2 * n + t + 1, :] = pltpu.roll(
+                            rowf, wp - 1, axis=1).astype(jnp.bfloat16)
+                # One-hot built transposed, (WP, CHUNK): onehot_t[c, j] =
+                # (c == col1[j]) — avoids a (1, CHUNK) -> (CHUNK, 1) vector
+                # relayout. The dot contracts its sublane axis against the
+                # series matrix's lane axis: (WP, CHUNK) x (128, WP) ->
+                # (CHUNK, 128).
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, CHUNK), 0)
+                onehot_t = jnp.where(
+                    cidx == c1[r:r + 1, :], jnp.float32(1.0), jnp.float32(0.0)
+                ).astype(jnp.bfloat16)
+                gout_scratch[r] = jax.lax.dot_general(
+                    onehot_t, bt_scratch[...],
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            # (8, CHUNK, 128) -> (128, 8, CHUNK): per-shot full-slab layout
+            # for the sweep (lane-major would waste 127/128 VPU lanes).
+            tr = jnp.transpose(gout_scratch[...], (2, 0, 1))
+            y1 = [tr[t] for t in range(n)]
             if xs:
-                y0.append(_gather_row(load_blk, i0 >> 7, i0 & 127, nblk))
-                y2.append(_gather_row(load_blk, i2 >> 7, i2 & 127, nblk))
+                y0 = [tr[n + t] for t in range(n)]
+                y2 = [tr[2 * n + t] for t in range(n)]
+        else:
+            for t in range(n):
+                def load_blk(b, t=t):
+                    blk = s1_ref[t, :, pl.ds(b * BLK, BLK)]
+                    return blk.astype(jnp.int32).astype(jnp.float32)
+
+                y1.append(_gather_row(load_blk, i1 >> 7, i1 & 127, nblk))
+                if xs:
+                    y0.append(_gather_row(load_blk, i0 >> 7, i0 & 127, nblk))
+                    y2.append(_gather_row(load_blk, i2 >> 7, i2 & 127, nblk))
 
         nxc_int = nxcorr_serial(diff0, var0, y1)
 
@@ -174,15 +225,18 @@ def _agree_kernel(
             pa = [jnp.float32(0.5) * (y0[t] - 2.0 * y1[t] + y2[t])
                   for t in range(n)]
             pb = [jnp.float32(0.5) * (y2[t] - y0[t]) for t in range(n)]
-            best_nxc = jnp.full((ROW_BATCH, CHUNK), -1.0, jnp.float32)
-            best_x = jnp.zeros((ROW_BATCH, CHUNK), jnp.float32)
-            for x in xs:
-                xf = jnp.float32(x)
+            # fori over the x grid (values streamed from SMEM): an
+            # unrolled len(xs) x n sweep makes the Mosaic program too large
+            # to compile at n=33, step=0.1.
+            def sweep(jx, carry):
+                best_nxc, best_x = carry
+                xf = xs_ref[0, jx]
                 interp = []
                 for t in range(n):
                     # Evaluation order matches the reference expression
-                    # a*x*x + b*x + c left-to-right ((a*x)*x, agree.hpp:170);
-                    # a*(x*x) differs in the last ulp for non-power-of-two x.
+                    # a*x*x + b*x + c left-to-right ((a*x)*x,
+                    # agree.hpp:170); a*(x*x) differs in the last ulp for
+                    # non-power-of-two x.
                     v = jnp.round(((pa[t] * xf) * xf + pb[t] * xf) + y1[t])
                     # round-half-even + C-style modular cast (agree.cuh:235)
                     iv = v.astype(jnp.int32) & jnp.int32(in_mod)
@@ -191,6 +245,13 @@ def _agree_kernel(
                 upd = best_nxc < nxc
                 best_nxc = jnp.where(upd, nxc, best_nxc)
                 best_x = jnp.where(upd, xf, best_x)
+                return best_nxc, best_x
+
+            best_nxc, best_x = jax.lax.fori_loop(
+                0, len(xs), sweep,
+                (jnp.full((ROW_BATCH, CHUNK), -1.0, jnp.float32),
+                 jnp.zeros((ROW_BATCH, CHUNK), jnp.float32)),
+            )
             corr_val = jnp.where(border[:, cs], nxc_int, best_nxc)
             ret = jnp.where(
                 border[:, cs],
@@ -228,17 +289,28 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
     s1 = _pad2(stack1, ROW_BATCH, CHUNK)
     hp, wp = d32.shape
     in_mod = 0xFFFF if stack0.dtype == jnp.uint16 else 0xFF
+    # MXU one-hot gather needs the 3n series sections in 128 bf16-exact
+    # lanes: u8 values only, n <= 42. u16 / larger stacks use the shuffle
+    # fallback.
+    mxu_gather = bool(stack0.dtype == jnp.uint8 and 3 * n <= 128)
 
     kernel = functools.partial(
         _agree_kernel,
         n=n, w=w, wp=wp,
         threshold=threshold, minvar=minvar, xs=xs, in_mod=in_mod,
+        mxu_gather=mxu_gather,
         interpret=interpret,
     )
+    xspad = max(8, len(xs))
+    xs_arr = jnp.asarray(
+        list(xs) + [0.0] * (xspad - len(xs)), dtype=jnp.float32
+    ).reshape(1, xspad)
     out, corr = pl.pallas_call(
         kernel,
         grid=(hp // ROW_BATCH,),
         in_specs=[
+            pl.BlockSpec((1, xspad), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((ROW_BATCH, wp), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, ROW_BATCH, wp), lambda r: (0, r, 0),
@@ -256,11 +328,15 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((128, wp), jnp.bfloat16),
+            pltpu.VMEM((ROW_BATCH, CHUNK, 128), jnp.float32),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(d32, s0, s1)
+    )(xs_arr, d32, s0, s1)
     return out[:h, :w], corr[:h, :w]
 
 
