@@ -54,6 +54,11 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
     from .config import actual_bits
 
     nbits = actual_bits(n, cfg.mode)
+    # The XLA word-packing path wins inside the fused pipeline program: the
+    # Pallas transform kernel (kernels/transform.py) is faster standalone
+    # (27 vs 60 ms at 33x2200x3300) but loses its edge under fusion and
+    # triples the pipeline's compile time; it remains available for callers
+    # that transform once and search many times.
     words0 = _descriptor.descriptor_words(stack0, cfg.mode)
     words1 = _descriptor.descriptor_words(stack1, cfg.mode)
     disp = _search.search_words(
@@ -134,7 +139,18 @@ def match(
     if corrmap and cfg.nxcorr_threshold is None:
         raise ValueError("corrmap requires cfg.nxcorr_threshold")
     backend = _search.resolve_backend(backend)
-    disp, corr = _match_jit(stack0, stack1, cfg, corrmap, backend)
+    from .config import Precision
+
+    if cfg.precision == Precision.DOUBLE:
+        # f64 NXCORR (common.hpp:60). TPUs have no f64 ALUs — XLA emulates —
+        # so this is a correctness surface, not a performance path; SINGLE is
+        # the production default (as in the reference).
+        import jax
+
+        with jax.enable_x64(True):
+            disp, corr = _match_jit(stack0, stack1, cfg, corrmap, backend)
+    else:
+        disp, corr = _match_jit(stack0, stack1, cfg, corrmap, backend)
     if corrmap:
         return disp, corr
     return disp

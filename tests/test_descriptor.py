@@ -88,3 +88,19 @@ def test_descriptor_words_equals_packed_bits(rng):
         want = descriptor.pack_bits(descriptor.descriptor_bits(s, mode))
         got = descriptor.descriptor_words(s, mode)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_descriptor_words_pallas_parity(rng):
+    """The Pallas transform kernel must be bit-identical to the XLA path."""
+    import numpy as np
+    from libbicos_tpu import TransformMode, descriptor
+    from libbicos_tpu.kernels.transform import descriptor_words_pallas
+
+    for n, mode, dtype in [(5, TransformMode.LIMITED, np.uint8),
+                           (33, TransformMode.LIMITED, np.uint8),
+                           (6, TransformMode.FULL, np.uint16),
+                           (16, TransformMode.FULL, np.uint8)]:
+        s = rng.integers(0, np.iinfo(dtype).max + 1, (n, 5, 40)).astype(dtype)
+        want = descriptor.descriptor_words(s, mode)
+        got = descriptor_words_pallas(s, mode, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -103,3 +103,29 @@ def test_invalid_disparity_helpers():
     assert np.isnan(bicos.invalid_disparity(np.float32))
     assert bicos.max_stacksize(bicos.TransformMode.LIMITED) == 65
     assert bicos.max_stacksize(bicos.TransformMode.FULL) == 16
+
+
+def test_match_double_precision(rng):
+    """Precision.DOUBLE runs NXCORR in f64 (common.hpp:60); the validity
+    decisions must be at least as consistent as f32 and the corrmap must be
+    finite where f32's is."""
+    import numpy as np
+    from conftest import make_stack_pair
+
+    import libbicos_tpu as bicos
+    from libbicos_tpu import Precision
+
+    s0, s1, _ = make_stack_pair(rng, 5, 4, 20)
+    d32, c32 = bicos.match(
+        s0, s1, bicos.Config(nxcorr_threshold=0.5), corrmap=True,
+        backend="xla")
+    d64, c64 = bicos.match(
+        s0, s1,
+        bicos.Config(nxcorr_threshold=0.5, precision=Precision.DOUBLE),
+        corrmap=True, backend="xla")
+    c64 = np.asarray(c64)
+    assert c64.dtype == np.float32  # corrmap surface stays f32
+    # f64 and f32 NXCORR agree closely; validity identical on random data.
+    m = ~np.isnan(np.asarray(c32))
+    np.testing.assert_allclose(c64[m], np.asarray(c32)[m], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(d64), np.asarray(d32))
