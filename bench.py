@@ -101,6 +101,29 @@ def main():
         }))
         return
 
+    if mode == "batched":
+        # Throughput mode: capability the reference lacks (batch folded into
+        # the row axis). Reports stacks/s.
+        batch = int(os.environ.get("BICOS_BENCH_BATCH", "4"))
+        cfg = bicos.Config(nxcorr_threshold=0.9, min_variance=2.0,
+                           mode=bicos.TransformMode.LIMITED)
+        b0 = jnp.asarray(np.stack([s0] * batch))
+        b1 = jnp.asarray(np.stack([s1] * batch))
+        jax.block_until_ready(
+            bicos.match_batched(b0, b1, cfg, backend=backend))
+        med, times = _timeit(
+            lambda: bicos.match_batched(b0, b1, cfg, backend=backend), reps)
+        sps = batch / (med / 1e3)
+        print(f"batched times ms: {[f'{t:.1f}' for t in times]}",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": f"batched{batch}_match_n{n}_{w}x{h}_stacks_per_s",
+            "value": round(sps, 2),
+            "unit": "stacks/s",
+            "vs_baseline": round(sps / 23.0, 4),  # ~23 stacks/s RTX 4090
+        }))
+        return
+
     cfg = bicos.Config(
         nxcorr_threshold=0.96,
         subpixel_step=0.1,

@@ -129,3 +129,40 @@ def test_match_double_precision(rng):
     m = ~np.isnan(np.asarray(c32))
     np.testing.assert_allclose(c64[m], np.asarray(c32)[m], atol=1e-5)
     np.testing.assert_array_equal(np.asarray(d64), np.asarray(d32))
+
+
+def test_match_extreme_stack_sizes(rng):
+    """n=2 (minimum, 4-bit descriptors) and n=65 (LIMITED maximum, 254 bits
+    -> the 8-word lane path) through both backends."""
+    import numpy as np
+    from conftest import make_stack_pair
+
+    import libbicos_tpu as bicos
+    from libbicos_tpu.config import TransformMode, actual_bits, max_stacksize
+
+    assert max_stacksize(TransformMode.LIMITED) == 65
+    assert actual_bits(65, TransformMode.LIMITED) == 254
+    for n in (2, 65):
+        s0, s1, _ = make_stack_pair(rng, n, 3, 24)
+        want = np.asarray(
+            bicos.match(s0, s1, bicos.Config(nxcorr_threshold=None),
+                        backend="xla"))
+        got = np.asarray(
+            bicos.match(s0, s1, bicos.Config(nxcorr_threshold=None),
+                        backend="pallas_interpret"))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_match_rejects_oversized_stack(rng):
+    import numpy as np
+    import pytest as _pytest
+
+    import libbicos_tpu as bicos
+    from libbicos_tpu.config import TransformMode
+
+    s = rng.integers(0, 255, (66, 3, 8), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="too large"):
+        bicos.match(s, s, bicos.Config(mode=TransformMode.LIMITED))
+    s17 = rng.integers(0, 255, (17, 3, 8), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="too large"):
+        bicos.match(s17, s17, bicos.Config(mode=TransformMode.FULL))
