@@ -166,41 +166,57 @@ def _agree_kernel(
             # One-hot matmul gather: one (CHUNK, WP) @ (WP, 128) contraction
             # per row delivers y1 (and the two parabola neighbours via
             # lane-rolled copies of each series) for every shot at once —
-            # exact, since each dot row has a single 1 against u8 values
-            # that bf16 represents exactly. ~8x faster than the per-block
-            # shuffle loop, which drowns in fori overhead.
+            # exact, since each dot row has a single 1 against byte values
+            # that bf16 represents exactly. u16 stacks run the contraction
+            # twice on the hi/lo bytes (value = 256*hi + lo; f32 recombine is
+            # exact). ~8x faster than the per-block shuffle loop, which
+            # drowns in fori overhead.
+            u16 = s1_ref.dtype == jnp.uint16
             for r in range(ROW_BATCH):
-                # Series matrix for this image row: rows [0,n) the raw
-                # series, [n,2n) shifted right (value at col-1), [2n,3n)
-                # shifted left (value at col+1). Wrapped edge lanes only
-                # reach border pixels, which take the integer fallback.
-                bt_scratch[3 * n:128, :] = jnp.zeros(
-                    (128 - 3 * n, wp), jnp.bfloat16)
-                for t in range(n):
-                    rowf = (s1_ref[t, r:r + 1, :]
-                            .astype(jnp.int32).astype(jnp.float32))
-                    bt_scratch[t:t + 1, :] = rowf.astype(jnp.bfloat16)
-                    if xs:
-                        # 32-bit lane rotates (bf16 rotate doesn't lower);
-                        # roll requires non-negative shifts: wp-1 == -1.
-                        bt_scratch[n + t:n + t + 1, :] = pltpu.roll(
-                            rowf, 1, axis=1).astype(jnp.bfloat16)
-                        bt_scratch[2 * n + t:2 * n + t + 1, :] = pltpu.roll(
-                            rowf, wp - 1, axis=1).astype(jnp.bfloat16)
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, CHUNK), 0)
                 # One-hot built transposed, (WP, CHUNK): onehot_t[c, j] =
                 # (c == col1[j]) — avoids a (1, CHUNK) -> (CHUNK, 1) vector
                 # relayout. The dot contracts its sublane axis against the
                 # series matrix's lane axis: (WP, CHUNK) x (128, WP) ->
                 # (CHUNK, 128).
-                cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, CHUNK), 0)
                 onehot_t = jnp.where(
                     cidx == c1[r:r + 1, :], jnp.float32(1.0), jnp.float32(0.0)
                 ).astype(jnp.bfloat16)
-                gout_scratch[r] = jax.lax.dot_general(
-                    onehot_t, bt_scratch[...],
-                    dimension_numbers=(((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+
+                def fill_and_dot(byte: int):
+                    # Series matrix for this image row: rows [0,n) the raw
+                    # series, [n,2n) shifted right (value at col-1), [2n,3n)
+                    # shifted left (value at col+1). Wrapped edge lanes only
+                    # reach border pixels, which take the integer fallback.
+                    bt_scratch[3 * n:128, :] = jnp.zeros(
+                        (128 - 3 * n, wp), jnp.bfloat16)
+                    for t in range(n):
+                        row32 = s1_ref[t, r:r + 1, :].astype(jnp.int32)
+                        if byte == 1:
+                            row32 = row32 >> 8
+                        elif u16:
+                            row32 = row32 & jnp.int32(0xFF)
+                        rowf = row32.astype(jnp.float32)
+                        bt_scratch[t:t + 1, :] = rowf.astype(jnp.bfloat16)
+                        if xs:
+                            # 32-bit lane rotates (bf16 rotate doesn't
+                            # lower); roll needs non-negative shifts:
+                            # wp-1 == -1.
+                            bt_scratch[n + t:n + t + 1, :] = pltpu.roll(
+                                rowf, 1, axis=1).astype(jnp.bfloat16)
+                            bt_scratch[2 * n + t:2 * n + t + 1, :] = (
+                                pltpu.roll(rowf, wp - 1, axis=1)
+                                .astype(jnp.bfloat16))
+                    return jax.lax.dot_general(
+                        onehot_t, bt_scratch[...],
+                        dimension_numbers=(((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                g = fill_and_dot(0)
+                if u16:
+                    g = fill_and_dot(1) * jnp.float32(256.0) + g
+                gout_scratch[r] = g
             # (8, CHUNK, 128) -> (128, 8, CHUNK): per-shot full-slab layout
             # for the sweep (lane-major would waste 127/128 VPU lanes).
             tr = jnp.transpose(gout_scratch[...], (2, 0, 1))
@@ -290,9 +306,9 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
     hp, wp = d32.shape
     in_mod = 0xFFFF if stack0.dtype == jnp.uint16 else 0xFF
     # MXU one-hot gather needs the 3n series sections in 128 bf16-exact
-    # lanes: u8 values only, n <= 42. u16 / larger stacks use the shuffle
-    # fallback.
-    mxu_gather = bool(stack0.dtype == jnp.uint8 and 3 * n <= 128)
+    # byte lanes: n <= 42 (u16 runs two byte-split contractions). Larger
+    # stacks use the shuffle fallback.
+    mxu_gather = bool(3 * n <= 128)
 
     kernel = functools.partial(
         _agree_kernel,

@@ -122,3 +122,16 @@ def test_pipeline_pallas_agree_integration(rng):
             m = ~np.isnan(want_d)
             np.testing.assert_array_equal(got_d[m], want_d[m])
         _assert_corr_close(got_c, want_c)
+
+
+def test_agree_kernel_shuffle_fallback_large_n(rng):
+    """n > 42 exceeds the one-hot section budget and takes the shuffle-gather
+    path; parity must hold there too."""
+    s0, s1, disp = _disp_for(rng, 44, 3, 20)
+    out, corr = agree_pallas(disp, s0, s1, 0.5, None, None, interpret=True)
+    want_d, want_c = oracle.agree(disp.copy(), s0, s1, 0.5, None)
+    out = np.asarray(out)
+    got_i16 = np.where(np.isnan(out), np.int16(-32768),
+                       np.nan_to_num(out).astype(np.int16))
+    np.testing.assert_array_equal(got_i16, want_d)
+    _assert_corr_close(corr, want_c)
