@@ -54,47 +54,45 @@ def stage_timings(stack0, stack1, cfg=None, *, backend: str = "auto") -> Dict:
     s1 = jnp.asarray(stack1)
     backend = _search.resolve_backend(backend)
 
-    tf = jax.jit(lambda s: _descriptor.descriptor_bits(s, cfg.mode))
-    bits0 = jax.block_until_ready(tf(s0))
-    bits1 = jax.block_until_ready(tf(s1))
-
-    def timed(fn, *args):
-        jax.block_until_ready(fn(*args))  # warm / compile
+    # Timing protocol: perturb the stack between runs (some runtimes dedupe
+    # identical executions) and fetch a scalar to force completion.
+    def timed(fn, pert):
+        jax.block_until_ready(fn(s0))  # warm / compile
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        out = fn(s0 ^ np.uint8(pert).astype(s0.dtype))
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = np.asarray(leaf[(0,) * leaf.ndim])
         return (time.perf_counter() - t0) * 1e3
 
-    t_transform = timed(tf, s0) + timed(tf, s1)
+    tf = jax.jit(lambda s: _descriptor.descriptor_bits(s, cfg.mode))
+    bits1 = jax.block_until_ready(tf(s1))
+    t_transform = 2 * timed(tf, 1)
 
     sf = jax.jit(
-        lambda a, b: _search.search(a, b, cfg.variant, backend=backend)
+        lambda a: _search.search(tf(a), bits1, cfg.variant, backend=backend)
     )
-    t_search = timed(sf, bits0, bits1)
-    disp = sf(bits0, bits1)
+    t_search = timed(sf, 2) - t_transform / 2
+    disp = jax.block_until_ready(sf(s0))
 
     t_agree = 0.0
     if cfg.nxcorr_threshold is not None:
-        minvar = None if cfg.min_variance is None else cfg.min_variance * s0.shape[0]
+        minvar = (None if cfg.min_variance is None
+                  else cfg.min_variance * s0.shape[0])
         if cfg.subpixel_step is not None:
-            af = jax.jit(lambda d, a, b: _agree.agree_subpixel(
-                d, a, b, cfg.nxcorr_threshold, cfg.subpixel_step, minvar,
+            af = jax.jit(lambda a: _agree.agree_subpixel(
+                disp, a, s1, cfg.nxcorr_threshold, cfg.subpixel_step, minvar,
                 cfg.precision))
         else:
-            af = jax.jit(lambda d, a, b: _agree.agree_integer(
-                d, a, b, cfg.nxcorr_threshold, minvar, cfg.precision))
-        t_agree = timed(af, disp, s0, s1)
+            af = jax.jit(lambda a: _agree.agree_integer(
+                disp, a, s1, cfg.nxcorr_threshold, minvar, cfg.precision))
+        t_agree = timed(af, 3)
 
-    def mfull():
-        return match(s0, s1, cfg, backend=backend)
-
-    jax.block_until_ready(mfull())
-    t0 = time.perf_counter()
-    jax.block_until_ready(mfull())
-    t_total = (time.perf_counter() - t0) * 1e3
+    mf = lambda a: match(a, s1, cfg, backend=backend)
+    t_total = timed(mf, 4)
 
     return {
         "transform_ms": round(t_transform, 3),
-        "search_ms": round(t_search, 3),
+        "search_ms": round(max(t_search, 0.0), 3),
         "agree_ms": round(t_agree, 3),
         "total_ms": round(t_total, 3),
     }
