@@ -92,10 +92,17 @@ def main():
                     (10, TransformMode.FULL)]:
         s0, _, _ = synthetic_stack_pair(n, h, w)
         d0 = jnp.asarray(s0)
-        tf = jax.jit(lambda s, m=mode: D.pack_bits(D.descriptor_bits(s, m)))
+        tf = jax.jit(lambda s, m=mode: D.descriptor_words(s, m))
         ms = timeit(tf, lambda k: (d0 ^ np.uint8(k),), reps)
         emit(f"transform_{mode.name.lower()}_n{n}", ms,
              {"mp_per_s": round(mp / (ms / 1e3), 1)})
+        if backend == "pallas":
+            from libbicos_tpu.kernels.transform import descriptor_words_pallas
+
+            tfk = lambda s, m=mode: descriptor_words_pallas(s, m)
+            ms = timeit(tfk, lambda k: (d0 ^ np.uint8(k),), reps)
+            emit(f"transform_kernel_{mode.name.lower()}_n{n}", ms,
+                 {"mp_per_s": round(mp / (ms / 1e3), 1)})
 
     # --- Hamming scan (bench/cuda.cu:192-256 analogue) -------------------
     for n, mode in [(10, TransformMode.LIMITED), (33, TransformMode.LIMITED),
@@ -125,12 +132,18 @@ def main():
     srch = jax.jit(lambda a, b: S.search(a, b, bicos.NoDuplicates(),
                                          backend=backend))
     disp = jax.block_until_ready(srch(tf(d0), tf(d1)))
-    ai = jax.jit(lambda d, a, b: A.agree_integer(
-        d, a, b, 0.9, 2.0 * n, Precision.SINGLE))
+    if backend == "pallas":
+        from libbicos_tpu.kernels.agree import agree_pallas
+
+        ai = lambda d, a, b: agree_pallas(d, a, b, 0.9, None, 2.0 * n)
+        asp = lambda d, a, b: agree_pallas(d, a, b, 0.9, 0.25, 2.0 * n)
+    else:
+        ai = jax.jit(lambda d, a, b: A.agree_integer(
+            d, a, b, 0.9, 2.0 * n, Precision.SINGLE))
+        asp = jax.jit(lambda d, a, b: A.agree_subpixel(
+            d, a, b, 0.9, 0.25, 2.0 * n, Precision.SINGLE))
     ms = timeit(ai, lambda k: (disp, d0 ^ np.uint8(k), d1), reps)
     emit(f"agree_integer_n{n}", ms, {"mp_per_s": round(mp / (ms / 1e3), 1)})
-    asp = jax.jit(lambda d, a, b: A.agree_subpixel(
-        d, a, b, 0.9, 0.25, 2.0 * n, Precision.SINGLE))
     ms = timeit(asp, lambda k: (disp, d0 ^ np.uint8(k), d1), reps)
     emit(f"agree_subpixel_n{n}_step0.25", ms,
          {"mp_per_s": round(mp / (ms / 1e3), 1)})

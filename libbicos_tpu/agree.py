@@ -103,13 +103,15 @@ def agree_integer(
     """
     dt = _compute_dtype(precision)
     _, h, w = stack0.shape
+    w1 = stack1.shape[2]  # right width (== w in the reference; may be wider
+    # under W-banded sharding, where stack0 is one column band)
     d = disp.astype(jnp.int32)
     valid = disp != INVALID_I16
     col = jnp.arange(w, dtype=jnp.int32)[None, :]
     col1 = col - d
-    inb = (col1 >= 0) & (col1 < w)
+    inb = (col1 >= 0) & (col1 < w1)
     keep = valid & inb
-    col1c = jnp.clip(col1, 0, w - 1)
+    col1c = jnp.clip(col1, 0, w1 - 1)
 
     s1sel = jnp.take_along_axis(stack1, col1c[None], axis=2).astype(dt)
     _, diff0, var0 = _stats(stack0.astype(dt), dt)
@@ -138,22 +140,23 @@ def agree_subpixel(
     dt = _compute_dtype(precision)
     in_dtype = stack0.dtype
     _, h, w = stack0.shape
+    w1 = stack1.shape[2]
     d = disp.astype(jnp.int32)
     valid = disp != INVALID_I16
     col = jnp.arange(w, dtype=jnp.int32)[None, :]
     col1 = col - d
-    inb = (col1 >= 0) & (col1 < w)
+    inb = (col1 >= 0) & (col1 < w1)
     keep = valid & inb
-    col1c = jnp.clip(col1, 0, w - 1)
-    border = (col1c == 0) | (col1c == w - 1)
+    col1c = jnp.clip(col1, 0, w1 - 1)
+    border = (col1c == 0) | (col1c == w1 - 1)
 
     # Gather the three neighbouring right-stack series (kept in the input
     # dtype; coefficient math is fused per x step to avoid materializing
     # (n, H, W) float intermediates).
     idx = col1c[None]
     y1u = jnp.take_along_axis(stack1, idx, axis=2)
-    y0u = jnp.take_along_axis(stack1, jnp.clip(idx - 1, 0, w - 1), axis=2)
-    y2u = jnp.take_along_axis(stack1, jnp.clip(idx + 1, 0, w - 1), axis=2)
+    y0u = jnp.take_along_axis(stack1, jnp.clip(idx - 1, 0, w1 - 1), axis=2)
+    y2u = jnp.take_along_axis(stack1, jnp.clip(idx + 1, 0, w1 - 1), axis=2)
 
     s0f = stack0.astype(dt)
     _, diff0, var0 = _stats(s0f, dt)
@@ -172,8 +175,9 @@ def agree_subpixel(
 
     def sweep(carry, xf):
         best_nxc, best_x = carry
-        # roundeven + modular cast to the input dtype (agree.hpp:170).
-        interp_f = jnp.round(pa * (xf * xf) + pb * xf + y1)
+        # roundeven + modular cast to the input dtype (agree.hpp:170);
+        # left-to-right evaluation order (a*x)*x like the reference.
+        interp_f = jnp.round(((pa * xf) * xf + pb * xf) + y1)
         interp = interp_f.astype(jnp.int32).astype(in_dtype)
         nxc = _nxcorr_from(diff0, var0, interp.astype(dt), minvar, dt)
         upd = best_nxc < nxc  # strict: earliest x of the max wins

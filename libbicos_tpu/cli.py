@@ -89,7 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "activate both.")
     # TPU-native extensions
     p.add_argument("--devices", type=int, default=1,
-                   help="Shard rows over this many devices (H-banding).")
+                   help="Shard over this many devices.")
+    p.add_argument("--shard-axis", default="rows", choices=["rows", "cols"],
+                   help="Sharding layout with --devices: 'rows' (H-banding, "
+                   "zero-collective) or 'cols' (W-banding ring search for "
+                   "very wide images).")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "pallas", "xla", "pallas_interpret"],
                    help="Compute path for the Hamming scan.")
@@ -168,10 +172,17 @@ def main(argv=None) -> int:
     tick = time.perf_counter()
     if args.devices > 1:
         mesh = make_mesh(args.devices)
-        out = match_sharded(
-            l_dev, r_dev, cfg, mesh=mesh, corrmap=args.corrmap,
-            backend=args.backend,
-        )
+        if args.shard_axis == "cols":
+            from .sharding import match_sharded_w
+
+            out = match_sharded_w(
+                l_dev, r_dev, cfg, mesh=mesh, corrmap=args.corrmap,
+            )
+        else:
+            out = match_sharded(
+                l_dev, r_dev, cfg, mesh=mesh, corrmap=args.corrmap,
+                backend=args.backend,
+            )
     else:
         out = match(
             l_dev, r_dev, cfg, corrmap=args.corrmap, backend=args.backend

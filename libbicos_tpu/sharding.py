@@ -112,6 +112,170 @@ def match_sharded(
     return disp
 
 
+def match_sharded_w(
+    stack0,
+    stack1,
+    cfg: Config = Config(),
+    *,
+    mesh: Optional[Mesh] = None,
+    corrmap: bool = False,
+):
+    """W-banded multi-chip ``match`` for very wide images: the O(W^2)
+    Hamming scan — the dominant cost and memory term — stays fully sharded
+    along columns (each chip ring-reduces visiting right-descriptor bands,
+    see :func:`row_minima_wband`); the NXCORR stage then all-gathers the
+    right stack so each chip validates its own column band (the series
+    gather at ``col - d`` is unbounded, exactly the reference's full-width
+    semantics, ``bicos.hpp:54``).
+
+    Functional parity path for the SURVEY section 5 "long-context" plan;
+    H-banding (:func:`match_sharded`) remains the zero-communication default.
+    """
+    from . import agree as _agree
+    from .config import NoDuplicates, Consistency, Precision
+    from .search import PACK_K
+
+    if mesh is None:
+        mesh = make_mesh()
+    (axis_name,) = mesh.axis_names
+    ndev = mesh.devices.size
+
+    stack0 = jnp.asarray(stack0)
+    stack1 = jnp.asarray(stack1)
+    n, h, w = stack0.shape
+    s0p, padw = _pad_rows(stack0, 2, ndev)
+    s1p, _ = _pad_rows(stack1, 2, ndev)
+    wp = s0p.shape[2]
+    band = wp // ndev
+    variant = cfg.variant
+    nodupes = isinstance(variant, NoDuplicates) or (
+        isinstance(variant, Consistency) and variant.no_dupes
+    )
+
+    def shard_fn(s0_local, s1_local):
+        idx = jax.lax.axis_index(axis_name)
+        col0 = idx * band + jnp.arange(band, dtype=jnp.int32)[None, :]
+        bits0 = _descriptor.descriptor_bits(s0_local, cfg.mode)
+        bits1 = _descriptor.descriptor_bits(s1_local, cfg.mode)
+        # padded left columns produce garbage rows; masked out at the end.
+        _, first0, last0 = _ring_minima(
+            bits0, bits1, nodupes or isinstance(variant, NoDuplicates),
+            axis_name, ndev, band, w)
+        if isinstance(variant, NoDuplicates):
+            valid = first0 == last0
+            disp = col0 - first0
+        else:
+            _, first1, last1 = _ring_minima(
+                bits1, bits0, nodupes, axis_name, ndev, band, w)
+            # Reverse results live on the band owning each right column;
+            # gather them globally for the cross-band lookup at best_col1.
+            f1g = jax.lax.all_gather(
+                first1, axis_name, axis=1, tiled=True)[:, :w]
+            valid = jnp.ones_like(first0, dtype=bool)
+            if nodupes:
+                valid = first0 == last0
+                l1g = jax.lax.all_gather(
+                    last1, axis_name, axis=1, tiled=True)[:, :w]
+                rvalid = f1g == l1g
+            else:
+                rvalid = jnp.ones_like(f1g, dtype=bool)
+            bc1 = jnp.clip(first0, 0, w - 1)
+            rc0 = jnp.take_along_axis(f1g, bc1, axis=1)
+            rok = jnp.take_along_axis(rvalid, bc1, axis=1)
+            valid = valid & rok & (
+                jnp.abs(col0 - rc0) <= jnp.int32(variant.max_lr_diff))
+            disp = (col0 + rc0) // 2 - first0
+        disp = jnp.where(valid, disp, jnp.int32(-32768)).astype(jnp.int16)
+
+        if cfg.nxcorr_threshold is None:
+            return disp, jnp.full(disp.shape, jnp.nan, jnp.float32)
+
+        # NXCORR: the right stack is gathered once; the left band plus its
+        # global column offset drive the local validation.
+        s1_full = jax.lax.all_gather(
+            s1_local, axis_name, axis=2, tiled=True)[:, :, :w]
+        minvar = None if cfg.min_variance is None else cfg.min_variance * n
+        out, corr = _agree_banded(
+            disp, s0_local, s1_full, col0, cfg, minvar)
+        return out, corr
+
+    sharding = NamedSharding(mesh, P(None, None, axis_name))
+    s0d = jax.device_put(s0p, sharding)
+    s1d = jax.device_put(s1p, sharding)
+    out, corr = jax.jit(shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, None, axis_name), P(None, None, axis_name)),
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+        check_rep=False,
+    ))(s0d, s1d)
+    out = out[:, :w]
+    corr = corr[:, :w]
+    if corrmap:
+        return out, corr
+    return out
+
+
+def _ring_minima(bits0, bits1, need_last, axis_name, ndev, band, w):
+    """Packed-min ring reduction over right-descriptor bands (in-shard-map
+    version of :func:`row_minima_wband`)."""
+    from .search import PACK_K
+
+    h = bits0.shape[0]
+    idx = jax.lax.axis_index(axis_name)
+
+    def step(i, carry):
+        mf, ml, cur = carry
+        src = jax.lax.rem(idx + i, ndev)
+        cost = _band_cost(bits0, cur, "xla")
+        col = src * band + jnp.arange(band, dtype=jnp.int32)[None, None]
+        colg = jnp.broadcast_to(col, cost.shape)
+        pen = jnp.where(colg >= w, jnp.int32(1 << 26), jnp.int32(0))
+        pf = cost * PACK_K + colg + pen
+        mf = jnp.minimum(mf, jnp.min(pf, axis=2))
+        if need_last:
+            pl_ = cost * PACK_K + (w - 1 - colg) + pen
+            ml = jnp.minimum(ml, jnp.min(pl_, axis=2))
+        nxt = jax.lax.ppermute(
+            cur, axis_name, perm=[((d + 1) % ndev, d) for d in range(ndev)])
+        return mf, ml, nxt
+
+    big = jnp.full((h, bits0.shape[1]), jnp.int32(1 << 30))
+    mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (big, big, bits1))
+    cost = mf // PACK_K
+    first = mf - cost * PACK_K
+    last = (w - 1) - (ml - (ml // PACK_K) * PACK_K) if need_last else None
+    return cost, first, last
+
+
+def _agree_banded(disp, stack0_local, stack1_full, col0, cfg: Config, minvar):
+    """Column-band NXCORR: reuses the library agree with the local disparity
+    translated into the global-column convention. agree computes
+    ``col1 = col - d`` with ``col`` the LOCAL index; substituting
+    ``d_local = d - offset`` makes ``col_local - d_local = col_global - d``,
+    and agree's bounds/border checks run against the gathered full-width
+    right stack (its ``w1``)."""
+    from . import agree as _agree
+
+    offset = col0[0, 0]  # idx * band
+    invalid = disp == jnp.int16(-32768)
+    d_shift = jnp.where(
+        invalid, jnp.int32(-32768), disp.astype(jnp.int32) - offset
+    ).astype(jnp.int16)
+    if cfg.subpixel_step is not None:
+        out, corr = _agree.agree_subpixel(
+            d_shift, stack0_local, stack1_full, cfg.nxcorr_threshold,
+            cfg.subpixel_step, minvar, cfg.precision)
+        out = jnp.where(jnp.isnan(out), out, out + offset.astype(jnp.float32))
+    else:
+        out, corr = _agree.agree_integer(
+            d_shift, stack0_local, stack1_full, cfg.nxcorr_threshold, minvar,
+            cfg.precision)
+        out = jnp.where(out == jnp.int16(-32768), out,
+                        (out.astype(jnp.int32) + offset).astype(jnp.int16))
+    return out, corr
+
+
 def row_minima_wband(
     bits0,
     bits1,

@@ -77,3 +77,31 @@ def test_wband_duplicate_ties_across_bands(rng, mesh):
     assert int(cw[0, 0]) == 0
     assert int(fw[0, 0]) == 2
     assert int(lw[0, 0]) == 35
+
+
+@pytest.mark.parametrize("cfg", [
+    Config(nxcorr_threshold=None),
+    Config(nxcorr_threshold=0.5, min_variance=1.0),
+    Config(nxcorr_threshold=0.6, subpixel_step=0.5),
+    Config(nxcorr_threshold=None,
+           variant=Consistency(max_lr_diff=1, no_dupes=True)),
+    Config(nxcorr_threshold=None,
+           variant=Consistency(max_lr_diff=2, no_dupes=False)),
+])
+def test_match_sharded_w_equals_single(rng, mesh, cfg):
+    """W-banded match (ring search + gathered-agree) must equal the
+    single-chip pipeline exactly."""
+    from libbicos_tpu.sharding import match_sharded_w
+    from conftest import make_stack_pair
+
+    s0, s1, _ = make_stack_pair(rng, 5, 4, 42)  # W=42: uneven over 4 devices
+    want = bicos.match(s0, s1, cfg, backend="xla")
+    got = match_sharded_w(s0, s1, cfg, mesh=mesh)
+    want = np.asarray(want)
+    got = np.asarray(got)
+    if want.dtype == np.int16:
+        np.testing.assert_array_equal(got, want)
+    else:
+        assert (np.isnan(got) == np.isnan(want)).all()
+        m = ~np.isnan(want)
+        np.testing.assert_array_equal(got[m], want[m])
