@@ -133,7 +133,6 @@ def match_sharded_w(
     """
     from . import agree as _agree
     from .config import NoDuplicates, Consistency, Precision
-    from .search import PACK_K
 
     if mesh is None:
         mesh = make_mesh()
