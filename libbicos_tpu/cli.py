@@ -210,7 +210,9 @@ def main(argv=None) -> int:
     _io.save_image(disp, outfile)
     if corr is not None:
         corr_out = outfile.parent / (outfile.stem + "-corrmap" + outfile.suffix)
-        _io.save_image(corr, corr_out, colormap="jet")
+        # VIRIDIS for the correlation map, like the reference
+        # (cli.cpp:226).
+        _io.save_image(corr, corr_out, colormap="viridis")
 
     if args.qmatrix:
         q = _io.read_q_matrix(args.qmatrix)

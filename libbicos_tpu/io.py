@@ -163,7 +163,8 @@ def save_image(image: np.ndarray, outfile, colormap: str = "turbo") -> None:
     norm = np.clip((vals - lo) * scale, 0, 255).astype(np.uint8)
     norm[mask] = 0
     if _HAS_CV2:
-        cmap = {"turbo": cv2.COLORMAP_TURBO, "jet": cv2.COLORMAP_JET}[colormap]
+        cmap = {"turbo": cv2.COLORMAP_TURBO, "jet": cv2.COLORMAP_JET,
+                "viridis": cv2.COLORMAP_VIRIDIS}[colormap]
         colorized = cv2.applyColorMap(norm, cmap)
         colorized[mask] = 0
         png = outfile.with_suffix(".png")

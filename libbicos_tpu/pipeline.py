@@ -61,6 +61,13 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
     # that transform once and search many times.
     words0 = _descriptor.descriptor_words(stack0, cfg.mode)
     words1 = _descriptor.descriptor_words(stack1, cfg.mode)
+    if words0.shape[-1] == 1:
+        # (H, W, 1) uint32 intermediates provoke a pathological padded
+        # layout in the fused TPU program (compile-time HBM blow-up); a
+        # second all-zero word is inert in every consumer.
+        zero = jnp.zeros_like(words0)
+        words0 = jnp.concatenate([words0, zero], axis=-1)
+        words1 = jnp.concatenate([words1, jnp.zeros_like(words1)], axis=-1)
     disp = _search.search_words(
         words0, words1, nbits, cfg.variant, backend=backend
     )
