@@ -115,7 +115,7 @@ def descriptor_bits(stack, mode: TransformMode):
     return jnp.stack(bits, axis=-1)
 
 
-def descriptor_words(stack, mode: TransformMode):
+def descriptor_words(stack, mode: TransformMode, min_words: int = 1):
     """Transform an image stack directly into packed uint32 descriptor words.
 
     Same bit semantics as :func:`descriptor_bits` + :func:`pack_bits`, but
@@ -142,7 +142,7 @@ def descriptor_words(stack, mode: TransformMode):
     assert len(bits) == nbits, (len(bits), n, mode)
     h, w = stack.shape[1], stack.shape[2]
     words = []
-    for wi in range(n_words_for(nbits)):
+    for wi in range(max(n_words_for(nbits), min_words)):
         acc = jnp.zeros((h, w), jnp.uint32)
         for pos in range(32):
             k = wi * 32 + pos

@@ -59,15 +59,26 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
     # (27 vs 60 ms at 33x2200x3300) but loses its edge under fusion and
     # triples the pipeline's compile time; it remains available for callers
     # that transform once and search many times.
-    words0 = _descriptor.descriptor_words(stack0, cfg.mode)
-    words1 = _descriptor.descriptor_words(stack1, cfg.mode)
-    if words0.shape[-1] == 1:
-        # (H, W, 1) uint32 intermediates provoke a pathological padded
-        # layout in the fused TPU program (compile-time HBM blow-up); a
-        # second all-zero word is inert in every consumer.
-        zero = jnp.zeros_like(words0)
-        words0 = jnp.concatenate([words0, zero], axis=-1)
-        words1 = jnp.concatenate([words1, jnp.zeros_like(words1)], axis=-1)
+    if backend in ("pallas", "pallas_interpret") and n < 10:
+        # For small stacks XLA's rematerializer slices the transform's
+        # temporal planes into (H, W, 1) buffers with a 128x-padded layout
+        # (T(8,128) on a unit minor dim) and the fused program OOMs HBM at
+        # compile time. The Pallas transform kernel computes the same words
+        # with its own layouts and sidesteps the pathology.
+        from .kernels.transform import descriptor_words_pallas
+
+        interp = backend == "pallas_interpret"
+        words0 = descriptor_words_pallas(stack0, cfg.mode, interpret=interp)
+        words1 = descriptor_words_pallas(stack1, cfg.mode, interpret=interp)
+        if words0.shape[-1] == 1:
+            words0 = jnp.concatenate([words0, jnp.zeros_like(words0)], -1)
+            words1 = jnp.concatenate([words1, jnp.zeros_like(words1)], -1)
+    else:
+        # min_words=2: (H, W, 1) uint32 intermediates provoke the same
+        # padded-layout blow-up; an all-zero second word is inert in every
+        # consumer.
+        words0 = _descriptor.descriptor_words(stack0, cfg.mode, min_words=2)
+        words1 = _descriptor.descriptor_words(stack1, cfg.mode, min_words=2)
     disp = _search.search_words(
         words0, words1, nbits, cfg.variant, backend=backend
     )
