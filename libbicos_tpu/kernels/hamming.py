@@ -35,6 +35,15 @@ TPU mapping (nothing here resembles the CUDA code on purpose):
   column chunk, which is peeled out of the chunk loop and masked there — the
   steady-state loop has zero masking overhead.
 
+* **Two MXU engines.** The default ``i8`` engine contracts int8-encoded bits
+  (query +-1, database 0/1) with int32 accumulation — 2x the MXU rate of
+  bf16 on v5e — and packs ``(s << 13) + col`` in exact int32 on the VPU; no
+  index columns ride the contraction, so FULL-mode 256-bit descriptors
+  contract over 256 lanes instead of 384, and the fused Consistency kernel
+  needs ONE contraction per chunk instead of two. The ``bf16`` engine (the
+  f32-packing design above) remains selectable via
+  ``BICOS_MXU_ENGINE=bf16`` for hardware whose int8 path underperforms.
+
 Grid: ``(H, W0/TILE_I)``; each step runs one or two
 ``(TILE_I, 128k) @ (128k, TILE_J)`` bf16 contractions per right-column chunk.
 The outputs are laid out ``(H, W0/TILE_I, TILE_I)`` so a whole row's result
@@ -61,6 +70,13 @@ DEF_TILE_I = 512
 DEF_TILE_J = 512
 # Right-row unpack proceeds in segments to bound shift/mask temporaries.
 UNPACK_SEG = 512
+
+# MXU engine: "i8" contracts int8 bits at 2x the bf16 rate (v5e: 394 TOPS
+# int8 vs 197 TFLOPS bf16) and packs indices in exact int32 on the VPU;
+# "bf16" folds the column index into the contraction (see module docstring).
+import os as _os
+
+DEFAULT_ENGINE = _os.environ.get("BICOS_MXU_ENGINE", "i8")
 
 
 def _unpack_bits_i32(flat):
@@ -98,6 +114,35 @@ def _encode_b(words_seg, col0: int, nbits: int, bpad: int):
     vals = jnp.where(lane == nbits, col >> 8, bits)
     vals = jnp.where(lane == nbits + 1, col & 255, vals)
     return vals.astype(jnp.bfloat16)
+
+
+def _encode_b_i8(words_seg, nbits: int, bpad: int):
+    """Database-side int8 encoding: (SEG, nw) uint32 -> (SEG, bpad) int8 0/1
+    bit planes. No index columns — the int8 engine packs the column index on
+    the VPU after the contraction (int8 coefficients cannot carry +-8192)."""
+    seg, nw = words_seg.shape
+    bits = _unpack_bits_i32(words_seg)
+    if bpad > nw * 32:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((seg, bpad - nw * 32), jnp.int32)], axis=1
+        )
+    return bits.astype(jnp.int8)
+
+
+def _encode_a_i8(words_tile, nbits: int, bpad: int):
+    """Query-side int8 encoding: bit -> -1, no bit -> +1, lanes >= nbits
+    zero. The dot against 0/1 database bits yields
+    ``s = pop(b) - 2 a.b = ham - pop(a)`` exactly, accumulated in int32."""
+    t, nw = words_tile.shape
+    bits = _unpack_bits_i32(words_tile)
+    if bpad > nw * 32:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((t, bpad - nw * 32), jnp.int32)], axis=1
+        )
+    pm = jnp.int32(1) - (bits << 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, bpad), 1)
+    pm = jnp.where(lane >= nbits, 0, pm)
+    return pm.astype(jnp.int8)
 
 
 def _encode_a(words_tile, nbits: int, bpad: int, sign: int):
@@ -221,6 +266,100 @@ def _minima_kernel(
         outl_ref[0, i, :] = jnp.zeros((tile_i,), jnp.float32)
 
 
+def _minima_kernel_i8(
+    w0_ref,  # (1, TILE_I, nw) uint32 — left descriptor words for this tile
+    w1_ref,  # (1, W1PAD, nw) uint32 — full right row, revisited across i
+    outf_ref,  # (1, NI, TILE_I) i32 — whole row of packed first-minima
+    outl_ref,  # (1, NI, TILE_I) i32 — whole row of packed last-minima
+    b_scratch,  # (W1PAD, BPAD) int8 — encoded right row
+    *,
+    nbits: int,
+    w1: int,
+    w1pad: int,
+    tile_j: int,
+    need_last: bool,
+):
+    """int8-MXU variant of :func:`_minima_kernel`.
+
+    The v5e MXU runs int8 contractions at twice the bf16 rate, and the
+    packing moves to exact int32 VPU arithmetic:
+
+      packed_first = (dot << 13) + col          (min keeps smallest col)
+      packed_last  = (dot << 13) + (8191 - col) (min keeps largest col)
+
+    where ``dot = s = ham - pop(a)``. Everything is exact integer math — no
+    f32-representability argument needed.
+    """
+    i = pl.program_id(1)
+    tile_i = w0_ref.shape[1]
+    bpad = b_scratch.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        nseg = w1pad // UNPACK_SEG
+
+        def encode_seg(k, carry):
+            seg = w1_ref[0, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
+            b_scratch[pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = _encode_b_i8(
+                seg, nbits, bpad
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+
+    a_i = _encode_a_i8(w0_ref[0], nbits, bpad)
+
+    nj = w1pad // tile_j
+
+    def dot_chunk(j):
+        b_tile = b_scratch[pl.ds(j * tile_j, tile_j), :]
+        return jax.lax.dot_general(
+            a_i, b_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (TILE_I, TILE_J) = s
+
+    def iota_j(j):
+        return j * tile_j + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_j), 1
+        )
+
+    def body(j, carry):
+        accf, accl = carry
+        s13 = dot_chunk(j) << 13
+        colv = iota_j(j)
+        accf = jnp.minimum(accf, s13 + colv)
+        if need_last:
+            accl = jnp.minimum(accl, s13 + (jnp.int32(PACK_S - 1) - colv))
+        return accf, accl
+
+    def body_masked(j, carry):
+        accf, accl = carry
+        s13 = dot_chunk(j) << 13
+        colv = iota_j(j)
+        pen = jnp.where(colv >= w1, jnp.int32(1) << 23, 0)
+        accf = jnp.minimum(accf, s13 + colv + pen)
+        if need_last:
+            accl = jnp.minimum(
+                accl, s13 + (jnp.int32(PACK_S - 1) - colv) + pen
+            )
+        return accf, accl
+
+    nj_fast = min(w1 // tile_j, nj)
+    init = jnp.full((tile_i, tile_j), jnp.int32(1) << 24, jnp.int32)
+    accf, accl = init, init
+    for j in range(nj_fast):
+        accf, accl = body(j, (accf, accl))
+    for j in range(nj_fast, nj):
+        accf, accl = body_masked(j, (accf, accl))
+
+    outf_ref[0, i, :] = jnp.min(accf, axis=1)
+    if need_last:
+        outl_ref[0, i, :] = jnp.min(accl, axis=1)
+    else:
+        outl_ref[0, i, :] = jnp.zeros((tile_i,), jnp.int32)
+
+
 def _consistency_kernel(
     w0_ref,  # (1, TILE_I, nw) uint32 — left descriptor words for this tile
     w1_ref,  # (1, W1PAD, nw) uint32 — full right row, revisited across i
@@ -340,6 +479,103 @@ def _consistency_kernel(
                               else jnp.zeros((w1pad,), jnp.float32))
 
 
+def _consistency_kernel_i8(
+    w0_ref,  # (1, TILE_I, nw) uint32
+    w1_ref,  # (1, W1PAD, nw) uint32
+    outf_ref,  # (1, NI, TILE_I) i32 — packed forward first-minima
+    outl_ref,  # (1, NI, TILE_I) i32 — packed forward last-minima
+    outrf_ref,  # (1, 1, W1PAD) i32 — packed reverse first-minima
+    outrl_ref,  # (1, 1, W1PAD) i32 — packed reverse last-minima
+    b_scratch,  # (W1PAD, BPAD) int8 — encoded right row
+    rev_scratch,  # (8, W1PAD) i32 — reverse minima accumulator
+    *,
+    nbits: int,
+    w0: int,
+    w1: int,
+    w1pad: int,
+    tile_j: int,
+    tile_i: int,
+    no_dupes: bool,
+):
+    """int8-MXU fused Consistency scan.
+
+    Beyond the 2x int8 MXU rate, this needs only ONE contraction per chunk:
+    the bf16 kernel runs a second matmul to get the pure ``s`` the reverse
+    direction needs (its forward dot has the col index folded in), whereas
+    here the dot IS pure ``s`` and both directions pack on the VPU.
+    """
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    bpad = b_scratch.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        nseg = w1pad // UNPACK_SEG
+
+        def encode_seg(k, carry):
+            seg = w1_ref[0, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
+            b_scratch[pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = _encode_b_i8(
+                seg, nbits, bpad
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+        rev_scratch[...] = jnp.full(
+            (8, w1pad), jnp.int32(1) << 25, jnp.int32
+        )
+
+    a_i = _encode_a_i8(w0_ref[0], nbits, bpad)
+
+    # Row-varying reverse terms: pop0*8192 restores the true Hamming cost;
+    # padded query rows (>= W0) are penalized out.
+    bits0 = _unpack_bits_i32(w0_ref[0].reshape(tile_i, -1))
+    pop0 = jnp.sum(bits0, axis=1, keepdims=True)
+    row0 = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0)
+    rowpen = jnp.where(row0 >= w0, jnp.int32(1) << 23, 0)
+    radd_f = (pop0 << 13) + row0 + rowpen
+    radd_l = (pop0 << 13) + (jnp.int32(PACK_S - 1) - row0) + rowpen
+
+    nj = w1pad // tile_j
+
+    def chunk(j, accf, accl):
+        b_tile = b_scratch[pl.ds(j * tile_j, tile_j), :]
+        s13 = jax.lax.dot_general(
+            a_i, b_tile, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) << 13
+        colv = j * tile_j + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_j), 1
+        )
+        pen = jnp.where(colv >= w1, jnp.int32(1) << 23, 0)
+        accf = jnp.minimum(accf, s13 + colv + pen)
+        if no_dupes:
+            accl = jnp.minimum(
+                accl, s13 + (jnp.int32(PACK_S - 1) - colv) + pen
+            )
+        rev_f = jnp.min(s13 + radd_f, axis=0, keepdims=True)  # (1, TJ)
+        js = pl.ds(j * tile_j, tile_j)
+        rev_scratch[0:1, js] = jnp.minimum(rev_scratch[0:1, js], rev_f)
+        if no_dupes:
+            rev_l = jnp.min(s13 + radd_l, axis=0, keepdims=True)
+            rev_scratch[1:2, js] = jnp.minimum(rev_scratch[1:2, js], rev_l)
+        return accf, accl
+
+    init = jnp.full((tile_i, tile_j), jnp.int32(1) << 24, jnp.int32)
+    accf, accl = init, init
+    for j in range(nj):
+        accf, accl = chunk(j, accf, accl)
+
+    outf_ref[0, i, :] = jnp.min(accf, axis=1)
+    outl_ref[0, i, :] = (jnp.min(accl, axis=1) if no_dupes
+                         else jnp.zeros((tile_i,), jnp.int32))
+
+    @pl.when(i == ni - 1)
+    def _():
+        outrf_ref[0, 0, :] = rev_scratch[0, :]
+        outrl_ref[0, 0, :] = (rev_scratch[1, :] if no_dupes
+                              else jnp.zeros((w1pad,), jnp.int32))
+
+
 def _encode_a_bits(words_tile, nbits: int, bpad: int):
     """Query-side encoding with ZERO extras: bit -> -8192, no bit -> +8192,
     all columns >= nbits zero — the dot against an :func:`_encode_b` row
@@ -367,7 +603,9 @@ def _pad_axis(x, axis: int, mult: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nbits", "need_last", "tile_i", "tile_j", "interpret"),
+    static_argnames=(
+        "nbits", "need_last", "tile_i", "tile_j", "interpret", "engine",
+    ),
 )
 def _row_minima_words(
     words0,
@@ -379,6 +617,7 @@ def _row_minima_words(
     tile_i: int,
     tile_j: int,
     interpret: bool,
+    engine: str,
 ):
     h, w0, nw = words0.shape
     w1 = words1.shape[1]
@@ -388,11 +627,19 @@ def _row_minima_words(
     w0pad = words0p.shape[1]
     w1pad = words1p.shape[1]
     ni = w0pad // tile_i
-    # Two col-split columns ride after the descriptor bits.
-    bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+    if engine == "i8":
+        # Bits only: the column index packs on the VPU post-contraction.
+        bpad = max(128, ((nbits + 127) // 128) * 128)
+        kernel_fn, b_dtype, out_dtype = _minima_kernel_i8, jnp.int8, jnp.int32
+    else:
+        # Two col-split columns ride after the descriptor bits.
+        bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+        kernel_fn, b_dtype, out_dtype = (
+            _minima_kernel, jnp.bfloat16, jnp.float32,
+        )
 
     kernel = functools.partial(
-        _minima_kernel,
+        kernel_fn,
         nbits=nbits,
         w1=w1,
         w1pad=w1pad,
@@ -423,10 +670,10 @@ def _row_minima_words(
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((h, ni, tile_i), jnp.float32),
-            jax.ShapeDtypeStruct((h, ni, tile_i), jnp.float32),
+            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
+            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((w1pad, bpad), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((w1pad, bpad), b_dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -440,6 +687,17 @@ def _row_minima_words(
     )(words0p, words1p)
 
     mf = mf.reshape(h, w0pad)[:, :w0]
+    if engine == "i8":
+        # mf = s*8192 + col in exact int32; >> 13 floors for negative s and
+        # the low 13 bits are col regardless of sign.
+        first = mf & jnp.int32(PACK_S - 1)
+        cost = (mf >> 13) + pop0
+        if need_last:
+            ml = ml.reshape(h, w0pad)[:, :w0]
+            last = (PACK_S - 1) - (ml & jnp.int32(PACK_S - 1))
+        else:
+            last = None
+        return cost, first, last
     # Decode mf = s*8192 + col (exact f32 ints; s may be negative).
     sf = jnp.floor(mf / PACK_S)
     first = (mf - sf * PACK_S).astype(jnp.int32)
@@ -457,7 +715,9 @@ def _row_minima_words(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nbits", "no_dupes", "tile_i", "tile_j", "interpret"),
+    static_argnames=(
+        "nbits", "no_dupes", "tile_i", "tile_j", "interpret", "engine",
+    ),
 )
 def _row_minima_consistency_words(
     words0,
@@ -469,6 +729,7 @@ def _row_minima_consistency_words(
     tile_i: int,
     tile_j: int,
     interpret: bool,
+    engine: str,
 ):
     h, w0, nw = words0.shape
     w1 = words1.shape[1]
@@ -478,10 +739,19 @@ def _row_minima_consistency_words(
     w0pad = words0p.shape[1]
     w1pad = words1p.shape[1]
     ni = w0pad // tile_i
-    bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+    if engine == "i8":
+        bpad = max(128, ((nbits + 127) // 128) * 128)
+        kernel_fn, b_dtype, out_dtype = (
+            _consistency_kernel_i8, jnp.int8, jnp.int32,
+        )
+    else:
+        bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+        kernel_fn, b_dtype, out_dtype = (
+            _consistency_kernel, jnp.bfloat16, jnp.float32,
+        )
 
     kernel = functools.partial(
-        _consistency_kernel,
+        kernel_fn,
         nbits=nbits,
         w0=w0,
         w1=w1,
@@ -516,14 +786,14 @@ def _row_minima_consistency_words(
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((h, ni, tile_i), jnp.float32),
-            jax.ShapeDtypeStruct((h, ni, tile_i), jnp.float32),
-            jax.ShapeDtypeStruct((h, 1, w1pad), jnp.float32),
-            jax.ShapeDtypeStruct((h, 1, w1pad), jnp.float32),
+            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
+            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
+            jax.ShapeDtypeStruct((h, 1, w1pad), out_dtype),
+            jax.ShapeDtypeStruct((h, 1, w1pad), out_dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((w1pad, bpad), jnp.bfloat16),
-            pltpu.VMEM((8, w1pad), jnp.float32),
+            pltpu.VMEM((w1pad, bpad), b_dtype),
+            pltpu.VMEM((8, w1pad), out_dtype),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -538,10 +808,25 @@ def _row_minima_consistency_words(
     )(words0p, words1p)
 
     mf = mf.reshape(h, w0pad)[:, :w0]
+    mrf = mrf.reshape(h, w1pad)[:, :w1]
+    if engine == "i8":
+        mask = jnp.int32(PACK_S - 1)
+        first0 = mf & mask
+        cost0 = (mf >> 13) + pop0
+        first1 = mrf & mask
+        cost1 = mrf >> 13
+        if no_dupes:
+            ml = ml.reshape(h, w0pad)[:, :w0]
+            last0 = (PACK_S - 1) - (ml & mask)
+            mrl = mrl.reshape(h, w1pad)[:, :w1]
+            last1 = (PACK_S - 1) - (mrl & mask)
+        else:
+            last0 = None
+            last1 = None
+        return (cost0, first0, last0), (cost1, first1, last1)
     sf = jnp.floor(mf / PACK_S)
     first0 = (mf - sf * PACK_S).astype(jnp.int32)
     cost0 = sf.astype(jnp.int32) + pop0
-    mrf = mrf.reshape(h, w1pad)[:, :w1]
     sr = jnp.floor(mrf / PACK_S)
     first1 = (mrf - sr * PACK_S).astype(jnp.int32)
     cost1 = sr.astype(jnp.int32)
@@ -584,6 +869,7 @@ def row_minima_consistency_words(
     tile_i: int = DEF_TILE_I,
     tile_j: int = DEF_TILE_J,
     interpret: bool = False,
+    engine: str | None = None,
 ):
     """Packed-words surface of the fused Consistency kernel."""
     h, w0, _ = words0.shape
@@ -600,6 +886,7 @@ def row_minima_consistency_words(
         tile_i=tile_i,
         tile_j=tile_j,
         interpret=interpret,
+        engine=engine or DEFAULT_ENGINE,
     )
 
 
@@ -611,6 +898,7 @@ def row_minima_consistency_pallas(
     tile_i: int = DEF_TILE_I,
     tile_j: int = DEF_TILE_J,
     interpret: bool = False,
+    engine: str | None = None,
 ):
     """Fused forward+reverse minima for the Consistency variant: one sweep of
     the cost matrix yields, per row, both the left->right and right->left
@@ -630,6 +918,7 @@ def row_minima_consistency_pallas(
         tile_i=tile_i,
         tile_j=tile_j,
         interpret=interpret,
+        engine=engine,
     )
 
 
@@ -642,6 +931,7 @@ def row_minima_pallas_words(
     tile_i: int = DEF_TILE_I,
     tile_j: int = DEF_TILE_J,
     interpret: bool = False,
+    engine: str | None = None,
 ):
     """Packed-words surface of the Hamming-scan kernel (production path)."""
     h, w0, _ = words0.shape
@@ -658,6 +948,7 @@ def row_minima_pallas_words(
         tile_i=tile_i,
         tile_j=tile_j,
         interpret=interpret,
+        engine=engine or DEFAULT_ENGINE,
     )
 
 
@@ -669,6 +960,7 @@ def row_minima_pallas(
     tile_i: int = DEF_TILE_I,
     tile_j: int = DEF_TILE_J,
     interpret: bool = False,
+    engine: str | None = None,
 ):
     """Drop-in Pallas analogue of :func:`..search.row_minima_xla`.
 
@@ -692,4 +984,5 @@ def row_minima_pallas(
         tile_i=tile_i,
         tile_j=tile_j,
         interpret=interpret,
+        engine=engine,
     )

@@ -11,12 +11,15 @@ from libbicos_tpu.kernels.hamming import row_minima_pallas
 
 @pytest.mark.parametrize("h,w,b", [(3, 40, 26), (2, 300, 126), (4, 130, 256)])
 @pytest.mark.parametrize("need_last", [True, False])
-def test_row_minima_pallas_matches_xla(rng, h, w, b, need_last):
+@pytest.mark.parametrize("engine", ["i8", "bf16"])
+def test_row_minima_pallas_matches_xla(rng, h, w, b, need_last, engine):
     bits0 = rng.random((h, w, b)) < 0.5
     bits1 = rng.random((h, w, b)) < 0.5
     bits1[:, 17] = bits1[:, 5]  # exact duplicates to exercise first/last
     c0, f0, l0 = search.row_minima_xla(bits0, bits1, need_last)
-    c1, f1, l1 = row_minima_pallas(bits0, bits1, need_last, interpret=True)
+    c1, f1, l1 = row_minima_pallas(
+        bits0, bits1, need_last, interpret=True, engine=engine
+    )
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     if need_last:
@@ -64,7 +67,8 @@ def test_row_minima_pallas_nonuniform_widths(rng):
 
 
 @pytest.mark.parametrize("no_dupes", [True, False])
-def test_consistency_fused_matches_two_pass(rng, no_dupes):
+@pytest.mark.parametrize("engine", ["i8", "bf16"])
+def test_consistency_fused_matches_two_pass(rng, no_dupes, engine):
     """The fused forward+reverse kernel must equal two plain passes."""
     from libbicos_tpu.kernels.hamming import row_minima_consistency_pallas
 
@@ -73,7 +77,7 @@ def test_consistency_fused_matches_two_pass(rng, no_dupes):
     bits1[:, 200] = bits1[:, 10]  # ties in the right row
     bits0[:, 150] = bits0[:, 20]  # ties in the left row
     (c0, f0, l0), (c1, f1, l1) = row_minima_consistency_pallas(
-        bits0, bits1, no_dupes, interpret=True
+        bits0, bits1, no_dupes, interpret=True, engine=engine
     )
     wc0, wf0, wl0 = search.row_minima_xla(bits0, bits1, no_dupes)
     wc1, wf1, wl1 = search.row_minima_xla(bits1, bits0, no_dupes)
