@@ -75,21 +75,18 @@ def main():
     jax.block_until_ready((d0, d1))
 
     if mode == "search":
-        # Hamming-scan kernel only (vs 770 MP/s RTX 4090 anchor).
-        from libbicos_tpu import descriptor as D
+        # Hamming-scan production path (vs 770 MP/s RTX 4090 anchor):
+        # fused transform+search straight from the raw stacks.
         from libbicos_tpu import search as S
 
         cfg = bicos.Config(mode=bicos.TransformMode.LIMITED)
-        bits0 = jax.block_until_ready(
-            jax.jit(lambda s: D.descriptor_bits(s, cfg.mode))(d0))
-        bits1 = jax.block_until_ready(
-            jax.jit(lambda s: D.descriptor_bits(s, cfg.mode))(d1))
         bk = S.resolve_backend(backend)
         fn = jax.jit(
-            lambda a, b: S.search(a, b, bicos.NoDuplicates(), backend=bk)
+            lambda a, b: S.search_stack(
+                a, b, cfg.mode, bicos.NoDuplicates(), backend=bk)
         )
-        jax.block_until_ready(fn(bits0, bits1))  # compile
-        med, times = _timeit(lambda: fn(bits0, bits1), reps)
+        jax.block_until_ready(fn(d0, d1))  # compile
+        med, times = _timeit(lambda: fn(d0, d1), reps)
         mps = h * w / 1e6 / (med / 1e3)
         print(f"search times ms: {[f'{t:.1f}' for t in times]}",
               file=sys.stderr)

@@ -153,6 +153,81 @@ def descriptor_words(stack, mode: TransformMode, min_words: int = 1):
     return jnp.stack(words, axis=-1)
 
 
+def compare_coeffs(n: int, mode: TransformMode):
+    """Descriptor bits as integer comparison matrices: bit k is
+    ``dot(CX[k], s) < dot(CY[k], s)`` over the raw temporal series ``s``.
+
+    This is the algebraic form that lets the search kernel compute
+    descriptors ON-CHIP with two tiny MXU contractions per tile (see
+    ``kernels/hamming.py``) instead of a separate transform pass: every
+    reference bit (``descriptor_transform.hpp:32-123``) is a comparison of
+    integer linear combinations of samples —
+
+    * ``a < b`` / ``a < c``: one-hot rows.
+    * ``pairsums[p] < pairsums[q]``: two-hot rows.
+    * ``sf[t] < av``: the reference compares against the float32 mean
+      ``fl(sum/n)``, which is EXACTLY equivalent to the integer comparison
+      ``n*s[t] < sum``: both sides are integers, and when they differ they
+      differ by >= 1, while the mean's rounding error is < ulp(sum/n)/2
+      << 1/n — the rounding can never cross the comparison boundary. (Ties
+      ``sum == n*s[t]`` make both forms false.)
+
+    All values stay < 2^24 (n <= 65, u16 samples), so bf16-coefficient MXU
+    dots with f32 accumulation reproduce them exactly.
+
+    Returns ``(CX, CY)`` as ``(nbits, n)`` numpy int32. Raises for the
+    LIMITED n<4 case, whose final bit is the constant ``-1 < a+b``
+    (``descriptor_transform.hpp:55,68``) — not expressible as X<Y of
+    non-negative combinations; callers fall back to the bit-plane path.
+    """
+    import numpy as np
+
+    nbits = actual_bits(n, mode)
+    cx = np.zeros((nbits, n), np.int32)
+    cy = np.zeros((nbits, n), np.int32)
+    k = 0
+
+    def emit_lt(xcoef, ycoef):
+        nonlocal k
+        for t, v in xcoef:
+            cx[k, t] += v
+        for t, v in ycoef:
+            cy[k, t] += v
+        k += 1
+
+    av = [(t, 1) for t in range(n)]  # times n on the other side
+    if mode == TransformMode.FULL:
+        for t in range(n - 2):
+            emit_lt([(t, 1)], [(t + 1, 1)])
+            emit_lt([(t, 1)], [(t + 2, 1)])
+            emit_lt([(t, n)], av)
+        emit_lt([(n - 2, 1)], [(n - 1, 1)])
+        emit_lt([(n - 2, n)], av)
+        emit_lt([(n - 1, n)], av)
+        for t in range(n - 1):
+            for i in range(n - 1):
+                if i in (t - 1, t, t + 1):
+                    continue
+                emit_lt([(t, 1), (t + 1, 1)], [(i, 1), (i + 1, 1)])
+    else:
+        if n < 4:
+            raise ValueError(
+                "LIMITED n<4 has a constant bit; use the bit-plane path"
+            )
+        for t in range(n - 2):
+            emit_lt([(t, 1)], [(t + 1, 1)])
+            emit_lt([(t, 1)], [(t + 2, 1)])
+            emit_lt([(t, n)], av)
+            if t >= 2:
+                emit_lt([(t - 2, 1), (t - 1, 1)], [(t, 1), (t + 1, 1)])
+        emit_lt([(n - 2, 1)], [(n - 1, 1)])
+        emit_lt([(n - 2, n)], av)
+        emit_lt([(n - 1, n)], av)
+        emit_lt([(n - 4, 1), (n - 3, 1)], [(n - 2, 1), (n - 1, 1)])
+    assert k == nbits, (k, nbits)
+    return cx, cy
+
+
 def n_words_for(num_bits: int) -> int:
     return (num_bits + 31) // 32
 

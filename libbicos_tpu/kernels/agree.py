@@ -46,6 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 ROW_BATCH = 8
 CHUNK = 512
 BLK = 128  # dynamic_gather span
+# Subpixel x-values evaluated per fori iteration (see the sweep loop).
+SWEEP_UNROLL = 3
 
 INVALID_I32 = -32768
 
@@ -138,6 +140,65 @@ def _agree_kernel(
             nxc = jnp.where(bad, jnp.float32(-1.0), nxc)
         return nxc
 
+    # MXU one-hot gather, row-major schedule: the series matrix
+    # ``bt_scratch`` depends only on the image row (and byte for u16), so it
+    # is filled ONCE per row and reused across all column chunks — the
+    # previous chunk-major order refilled it (wp/CHUNK)x per row, ~44 extra
+    # (128, WP) fills + lane rotates per grid step.
+    if mxu_gather:
+        u16 = s1_ref.dtype == jnp.uint16
+        for byte in range(2 if u16 else 1):
+            for r in range(ROW_BATCH):
+                # Series matrix for this image row: rows [0,n) the raw
+                # series, [n,2n) shifted right (value at col-1), [2n,3n)
+                # shifted left (value at col+1). Wrapped edge lanes only
+                # reach border pixels, which take the integer fallback.
+                bt_scratch[3 * n:128, :] = jnp.zeros(
+                    (128 - 3 * n, wp), jnp.bfloat16)
+                for t in range(n):
+                    row32 = s1_ref[t, r:r + 1, :].astype(jnp.int32)
+                    if byte == 1:
+                        row32 = row32 >> 8
+                    elif u16:
+                        row32 = row32 & jnp.int32(0xFF)
+                    rowf = row32.astype(jnp.float32)
+                    bt_scratch[t:t + 1, :] = rowf.astype(jnp.bfloat16)
+                    if xs:
+                        # 32-bit lane rotates (bf16 rotate doesn't
+                        # lower); roll needs non-negative shifts:
+                        # wp-1 == -1.
+                        bt_scratch[n + t:n + t + 1, :] = pltpu.roll(
+                            rowf, 1, axis=1).astype(jnp.bfloat16)
+                        bt_scratch[2 * n + t:2 * n + t + 1, :] = (
+                            pltpu.roll(rowf, wp - 1, axis=1)
+                            .astype(jnp.bfloat16))
+                for oc in range(wp // CHUNK):
+                    cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
+                    cidx = jax.lax.broadcasted_iota(
+                        jnp.int32, (wp, CHUNK), 0)
+                    # One-hot built transposed, (WP, CHUNK): onehot_t[c, j]
+                    # = (c == col1[j]) — avoids a (1, CHUNK) -> (CHUNK, 1)
+                    # vector relayout. The dot contracts its sublane axis
+                    # against the series matrix's lane axis:
+                    # (WP, CHUNK) x (128, WP) -> (CHUNK, 128). Exact: each
+                    # dot row has a single 1 against bf16-exact byte values;
+                    # u16 recombines hi/lo contractions as 256*hi + lo.
+                    onehot_t = jnp.where(
+                        cidx == col1c[r:r + 1, cs], jnp.float32(1.0),
+                        jnp.float32(0.0)
+                    ).astype(jnp.bfloat16)
+                    g = jax.lax.dot_general(
+                        onehot_t, bt_scratch[...],
+                        dimension_numbers=(((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if u16 and byte == 1:
+                        gout_scratch[r, cs, :] = (
+                            gout_scratch[r, cs, :] + g * jnp.float32(256.0)
+                        )
+                    else:
+                        gout_scratch[r, cs, :] = g
+
     for oc in range(wp // CHUNK):
         cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
         c1 = col1c[:, cs]
@@ -163,63 +224,9 @@ def _agree_kernel(
         y0 = []
         y2 = []
         if mxu_gather:
-            # One-hot matmul gather: one (CHUNK, WP) @ (WP, 128) contraction
-            # per row delivers y1 (and the two parabola neighbours via
-            # lane-rolled copies of each series) for every shot at once —
-            # exact, since each dot row has a single 1 against byte values
-            # that bf16 represents exactly. u16 stacks run the contraction
-            # twice on the hi/lo bytes (value = 256*hi + lo; f32 recombine is
-            # exact). ~8x faster than the per-block shuffle loop, which
-            # drowns in fori overhead.
-            u16 = s1_ref.dtype == jnp.uint16
-            for r in range(ROW_BATCH):
-                cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, CHUNK), 0)
-                # One-hot built transposed, (WP, CHUNK): onehot_t[c, j] =
-                # (c == col1[j]) — avoids a (1, CHUNK) -> (CHUNK, 1) vector
-                # relayout. The dot contracts its sublane axis against the
-                # series matrix's lane axis: (WP, CHUNK) x (128, WP) ->
-                # (CHUNK, 128).
-                onehot_t = jnp.where(
-                    cidx == c1[r:r + 1, :], jnp.float32(1.0), jnp.float32(0.0)
-                ).astype(jnp.bfloat16)
-
-                def fill_and_dot(byte: int):
-                    # Series matrix for this image row: rows [0,n) the raw
-                    # series, [n,2n) shifted right (value at col-1), [2n,3n)
-                    # shifted left (value at col+1). Wrapped edge lanes only
-                    # reach border pixels, which take the integer fallback.
-                    bt_scratch[3 * n:128, :] = jnp.zeros(
-                        (128 - 3 * n, wp), jnp.bfloat16)
-                    for t in range(n):
-                        row32 = s1_ref[t, r:r + 1, :].astype(jnp.int32)
-                        if byte == 1:
-                            row32 = row32 >> 8
-                        elif u16:
-                            row32 = row32 & jnp.int32(0xFF)
-                        rowf = row32.astype(jnp.float32)
-                        bt_scratch[t:t + 1, :] = rowf.astype(jnp.bfloat16)
-                        if xs:
-                            # 32-bit lane rotates (bf16 rotate doesn't
-                            # lower); roll needs non-negative shifts:
-                            # wp-1 == -1.
-                            bt_scratch[n + t:n + t + 1, :] = pltpu.roll(
-                                rowf, 1, axis=1).astype(jnp.bfloat16)
-                            bt_scratch[2 * n + t:2 * n + t + 1, :] = (
-                                pltpu.roll(rowf, wp - 1, axis=1)
-                                .astype(jnp.bfloat16))
-                    return jax.lax.dot_general(
-                        onehot_t, bt_scratch[...],
-                        dimension_numbers=(((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-
-                g = fill_and_dot(0)
-                if u16:
-                    g = fill_and_dot(1) * jnp.float32(256.0) + g
-                gout_scratch[r] = g
             # (8, CHUNK, 128) -> (128, 8, CHUNK): per-shot full-slab layout
             # for the sweep (lane-major would waste 127/128 VPU lanes).
-            tr = jnp.transpose(gout_scratch[...], (2, 0, 1))
+            tr = jnp.transpose(gout_scratch[:, cs, :], (2, 0, 1))
             y1 = [tr[t] for t in range(n)]
             if xs:
                 y0 = [tr[n + t] for t in range(n)]
@@ -241,30 +248,37 @@ def _agree_kernel(
             pa = [jnp.float32(0.5) * (y0[t] - 2.0 * y1[t] + y2[t])
                   for t in range(n)]
             pb = [jnp.float32(0.5) * (y2[t] - y0[t]) for t in range(n)]
-            # fori over the x grid (values streamed from SMEM): an
-            # unrolled len(xs) x n sweep makes the Mosaic program too large
-            # to compile at n=33, step=0.1.
+            # fori over the x grid (values streamed from SMEM), SWEEP_UNROLL
+            # x-values per iteration: a fully unrolled len(xs) x n sweep
+            # makes the Mosaic program too large to compile at n=33,
+            # step=0.1, while one-x iterations fence MXU/VPU pipelining at
+            # every step. The wrapper pads the grid to a multiple of
+            # SWEEP_UNROLL with copies of the last x — re-evaluating an x
+            # can never change the result (strict < keeps the first best).
             def sweep(jx, carry):
                 best_nxc, best_x = carry
-                xf = xs_ref[0, jx]
-                interp = []
-                for t in range(n):
-                    # Evaluation order matches the reference expression
-                    # a*x*x + b*x + c left-to-right ((a*x)*x,
-                    # agree.hpp:170); a*(x*x) differs in the last ulp for
-                    # non-power-of-two x.
-                    v = jnp.round(((pa[t] * xf) * xf + pb[t] * xf) + y1[t])
-                    # round-half-even + C-style modular cast (agree.cuh:235)
-                    iv = v.astype(jnp.int32) & jnp.int32(in_mod)
-                    interp.append(iv.astype(jnp.float32))
-                nxc = nxcorr_serial(diff0, var0, interp)
-                upd = best_nxc < nxc
-                best_nxc = jnp.where(upd, nxc, best_nxc)
-                best_x = jnp.where(upd, xf, best_x)
+                for u in range(SWEEP_UNROLL):
+                    xf = xs_ref[0, jx * SWEEP_UNROLL + u]
+                    interp = []
+                    for t in range(n):
+                        # Evaluation order matches the reference expression
+                        # a*x*x + b*x + c left-to-right ((a*x)*x,
+                        # agree.hpp:170); a*(x*x) differs in the last ulp
+                        # for non-power-of-two x.
+                        v = jnp.round(
+                            ((pa[t] * xf) * xf + pb[t] * xf) + y1[t])
+                        # round-half-even + C-style modular cast
+                        # (agree.cuh:235)
+                        iv = v.astype(jnp.int32) & jnp.int32(in_mod)
+                        interp.append(iv.astype(jnp.float32))
+                    nxc = nxcorr_serial(diff0, var0, interp)
+                    upd = best_nxc < nxc
+                    best_nxc = jnp.where(upd, nxc, best_nxc)
+                    best_x = jnp.where(upd, xf, best_x)
                 return best_nxc, best_x
 
             best_nxc, best_x = jax.lax.fori_loop(
-                0, len(xs), sweep,
+                0, len(xs) // SWEEP_UNROLL, sweep,
                 (jnp.full((ROW_BATCH, CHUNK), -1.0, jnp.float32),
                  jnp.zeros((ROW_BATCH, CHUNK), jnp.float32)),
             )
@@ -310,6 +324,10 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
     # stacks use the shuffle fallback.
     mxu_gather = bool(3 * n <= 128)
 
+    if xs:
+        # Pad the grid to a SWEEP_UNROLL multiple with copies of the last x
+        # (re-evaluation is a no-op under the strict < best update).
+        xs = xs + (xs[-1],) * ((-len(xs)) % SWEEP_UNROLL)
     kernel = functools.partial(
         _agree_kernel,
         n=n, w=w, wp=wp,
@@ -346,7 +364,7 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
         ),
         scratch_shapes=[
             pltpu.VMEM((128, wp), jnp.bfloat16),
-            pltpu.VMEM((ROW_BATCH, CHUNK, 128), jnp.float32),
+            pltpu.VMEM((ROW_BATCH, wp, 128), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

@@ -77,6 +77,10 @@ UNPACK_SEG = 512
 import os as _os
 
 DEFAULT_ENGINE = _os.environ.get("BICOS_MXU_ENGINE", "i8")
+# Accumulator strategy: "1" keeps (TILE_I, 128) running minima and reduces
+# each dot chunk lane-group by lane-group (4x less accumulator VMEM traffic
+# than full (TILE_I, TILE_J) accumulators); "0" keeps full-tile accumulators.
+DEFAULT_REDUCE = _os.environ.get("BICOS_MXU_REDUCE", "0") == "1"
 
 
 def _unpack_bits_i32(flat):
@@ -145,6 +149,110 @@ def _encode_a_i8(words_tile, nbits: int, bpad: int):
     return pm.astype(jnp.int8)
 
 
+def _cmp_dots(s32, cxb, cyb, u16: bool, a_side: bool):
+    """Compare-matrix contractions for on-chip descriptor bits.
+
+    ``s32``: raw samples as int32 — ``(n, SEG)`` for the database side
+    (returns ``(BPAD, SEG)`` xv/yv) or ``(n, TILE_I)`` contracted the other
+    way for the query side (returns ``(TILE_I, BPAD)``). ``cxb``/``cyb`` are
+    the (BPAD, n) bf16 compare-coefficient constants
+    (:func:`..descriptor.compare_coeffs`). All products and sums are exact
+    f32 integers (< 2^24); u16 samples run byte-split contractions
+    recombined as ``256*hi + lo`` (also exact).
+    """
+    def dots(v32):
+        vb = v32.astype(jnp.float32).astype(jnp.bfloat16)
+        if a_side:
+            dn = (((0,), (1,)), ((), ()))
+            xv = jax.lax.dot_general(
+                vb, cxb, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            yv = jax.lax.dot_general(
+                vb, cyb, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+        else:
+            dn = (((1,), (0,)), ((), ()))
+            xv = jax.lax.dot_general(
+                cxb, vb, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            yv = jax.lax.dot_general(
+                cyb, vb, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+        return xv, yv
+
+    if u16:
+        xh, yh = dots(s32 >> 8)
+        xl, yl = dots(s32 & jnp.int32(0xFF))
+        return (xh * jnp.float32(256.0) + xl,
+                yh * jnp.float32(256.0) + yl)
+    return dots(s32)
+
+
+def _encode_b_i8_stack(s_rows, cxb, cyb, u16: bool):
+    """(n, SEG) raw samples -> (BPAD, SEG) int8 0/1 descriptor bits.
+
+    The transform happens ON-CHIP as two tiny MXU contractions against the
+    compare-coefficient matrices — no separate descriptor pass, no packed
+    words in HBM. Rows >= nbits have all-zero coefficients, so their bits
+    are (0 < 0) = 0 automatically. Output is K-major: exactly the layout
+    the main Hamming contraction wants for its RHS.
+    """
+    xv, yv = _cmp_dots(s_rows.astype(jnp.int32), cxb, cyb, u16, a_side=False)
+    return (xv < yv).astype(jnp.int8)
+
+
+def _encode_a_i8_stack(s_tile, cxb, cyb, nbits: int, u16: bool):
+    """(n, TILE_I) raw samples -> (TILE_I, BPAD) int8 query encoding:
+    bit -> -1, no bit -> +1, lanes >= nbits zero."""
+    tile_i = s_tile.shape[1]
+    bpad = cxb.shape[0]
+    xv, yv = _cmp_dots(s_tile.astype(jnp.int32), cxb, cyb, u16, a_side=True)
+    pm = jnp.where(xv < yv, jnp.int32(-1), jnp.int32(1))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_i, bpad), 1)
+    pm = jnp.where(lane >= nbits, 0, pm)
+    return pm.astype(jnp.int8)
+
+
+def _encode_b_bf16_stack(s_rows, cxb, cyb, nbits: int, col0, u16: bool):
+    """(n, SEG) raw samples -> (BPAD, SEG) bf16 database encoding for the
+    bf16 engine: rows [0, nbits) are 0/1 bits (on-chip transform), row
+    ``nbits`` carries ``col >> 8`` and row ``nbits+1`` carries ``col & 255``
+    for the index-in-contraction packing (both bf16-exact)."""
+    bpad, _ = cxb.shape
+    seg = s_rows.shape[1]
+    xv, yv = _cmp_dots(s_rows.astype(jnp.int32), cxb, cyb, u16, a_side=False)
+    bits = jnp.where(xv < yv, jnp.int32(1), jnp.int32(0))
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (bpad, seg), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (bpad, seg), 0)
+    vals = jnp.where(row == nbits, col >> 8, bits)
+    vals = jnp.where(row == nbits + 1, col & 255, vals)
+    return vals.astype(jnp.bfloat16)
+
+
+def _encode_a_bf16_stack(
+    s_tile, cxb, cyb, nbits: int, u16: bool, sign: int, extras: bool,
+):
+    """(n, TILE_I) raw samples -> (TILE_I, BPAD) bf16 query encoding.
+
+    ``sign=-1``: bit -> -8192, no bit -> +8192 (dot emits s*8192 + col when
+    ``extras`` puts the [256, 1] col-split coefficients at lanes
+    nbits/nbits+1); ``extras=False`` zeroes them (pure s*8192 dot for the
+    consistency reverse direction).
+    """
+    tile_i = s_tile.shape[1]
+    bpad = cxb.shape[0]
+    xv, yv = _cmp_dots(s_tile.astype(jnp.int32), cxb, cyb, u16, a_side=True)
+    pm = jnp.where(xv < yv, jnp.int32(-8192), jnp.int32(8192))
+    if sign > 0:
+        pm = -pm
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_i, bpad), 1)
+    pm = jnp.where(lane >= nbits, 0, pm)
+    if extras:
+        pm = jnp.where(lane == nbits, 256, pm)
+        pm = jnp.where(lane == nbits + 1, 1, pm)
+    return pm.astype(jnp.bfloat16)
+
+
 def _encode_a(words_tile, nbits: int, bpad: int, sign: int):
     """Query-side encoding: (T, nw) uint32 -> (T, bpad) bf16.
 
@@ -182,6 +290,7 @@ def _minima_kernel(
     w1pad: int,
     tile_j: int,
     need_last: bool,
+    reduce: bool,
 ):
     i = pl.program_id(1)
     tile_i = w0_ref.shape[1]
@@ -214,15 +323,31 @@ def _minima_kernel(
             preferred_element_type=jnp.float32,
         )  # (TILE_I, TILE_J) = s*8192 + col
 
+    outf, outl = _sweep_minima_bf16(
+        dotf_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+    )
+    outf_ref[0, i, :] = outf
+    outl_ref[0, i, :] = outl
+
+
+def _sweep_minima_bf16(
+    dotf_chunk, tile_i: int, tile_j: int, nj: int, w1: int,
+    need_last: bool, reduce: bool,
+):
+    """Shared f32 packed-minima sweep for the bf16 engine: ``dotf_chunk(j)``
+    returns (TILE_I, TILE_J) f32 ``packed = s*8192 + col``.
+
+    The last-argmin packing is derived from the SAME dot output:
+      dotf + (PACK_S-1 - 2*col) = s*8192 + (8191 - col),
+    whose min keeps the minimal s with the LARGEST col as tiebreak —
+    one broadcast add instead of a second matmul.
+    """
+
     def iota_j(j):
         return j * tile_j + jax.lax.broadcasted_iota(
             jnp.int32, (1, tile_j), 1
         )
 
-    # The last-argmin packing is derived from the SAME dot output:
-    #   dotf + (PACK_S-1 - 2*col) = s*8192 + (8191 - col),
-    # whose min keeps the minimal s with the LARGEST col as tiebreak —
-    # one broadcast add instead of a second matmul.
     def body(j, carry):
         accf, accl = carry
         dotf = dotf_chunk(j)
@@ -247,23 +372,132 @@ def _minima_kernel(
             accl = jnp.minimum(accl, dotf + cvec + pen)
         return accf, accl
 
+    # Lane-group reduction (see _sweep_minima_i8.body_reduced): the dot
+    # already emits packed = s*8192 + col, so the first-minima fold is a
+    # bare vreg-aligned min per 128-lane slice.
+    def body_reduced(j, carry, masked):
+        accf, accl = carry
+        dotf = dotf_chunk(j)
+        for k in range(tile_j // 128):
+            dk = dotf[:, 128 * k : 128 * (k + 1)]
+            colk = (j * tile_j + 128 * k
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1))
+            if masked:
+                pen = jnp.where(colk >= w1, jnp.float32(PAD_PENALTY), 0.0)
+                dk = dk + pen
+            accf = jnp.minimum(accf, dk)
+            if need_last:
+                cvec = (jnp.float32(PACK_S - 1)
+                        - 2.0 * colk.astype(jnp.float32))
+                accl = jnp.minimum(accl, dk + cvec)
+        return accf, accl
+
     # Fully unrolled at trace time: Mosaic then software-pipelines the
     # chunks, overlapping each chunk's MXU contraction with the previous
     # chunk's VPU min — measured ~2x over a fori_loop (which fences per
     # iteration). nj is small (<= W/128 chunks), so code size stays sane.
     nj_fast = min(w1 // tile_j, nj)
-    init = jnp.full((tile_i, tile_j), jnp.float32(ACC_INIT), jnp.float32)
+    acc_w = 128 if reduce else tile_j
+    init = jnp.full((tile_i, acc_w), jnp.float32(ACC_INIT), jnp.float32)
     accf, accl = init, init
-    for j in range(nj_fast):
-        accf, accl = body(j, (accf, accl))
-    for j in range(nj_fast, nj):
-        accf, accl = body_masked(j, (accf, accl))
-
-    outf_ref[0, i, :] = jnp.min(accf, axis=1)
-    if need_last:
-        outl_ref[0, i, :] = jnp.min(accl, axis=1)
+    if reduce:
+        for j in range(nj_fast):
+            accf, accl = body_reduced(j, (accf, accl), False)
+        for j in range(nj_fast, nj):
+            accf, accl = body_reduced(j, (accf, accl), True)
     else:
-        outl_ref[0, i, :] = jnp.zeros((tile_i,), jnp.float32)
+        for j in range(nj_fast):
+            accf, accl = body(j, (accf, accl))
+        for j in range(nj_fast, nj):
+            accf, accl = body_masked(j, (accf, accl))
+
+    outf = jnp.min(accf, axis=1)
+    outl = (jnp.min(accl, axis=1) if need_last
+            else jnp.zeros((tile_i,), jnp.float32))
+    return outf, outl
+
+
+def _sweep_minima_i8(
+    dot_chunk, tile_i: int, tile_j: int, nj: int, w1: int,
+    need_last: bool, reduce: bool,
+):
+    """Shared int32 packed-minima sweep over the right-row chunks.
+
+    ``dot_chunk(j)`` must return the (TILE_I, TILE_J) int32 contraction
+    ``s = ham - pop(a)`` for chunk j. Packing is exact integer math:
+
+      packed_first = (s << 13) + col          (min keeps smallest col)
+      packed_last  = (s << 13) + (8191 - col) (min keeps largest col)
+
+    Returns the per-query (TILE_I,) packed minima (first, last-or-zeros).
+    """
+
+    def iota_j(j):
+        return j * tile_j + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_j), 1
+        )
+
+    def body(j, carry):
+        accf, accl = carry
+        s13 = dot_chunk(j) << 13
+        colv = iota_j(j)
+        accf = jnp.minimum(accf, s13 + colv)
+        if need_last:
+            accl = jnp.minimum(accl, s13 + (jnp.int32(PACK_S - 1) - colv))
+        return accf, accl
+
+    def body_masked(j, carry):
+        accf, accl = carry
+        s13 = dot_chunk(j) << 13
+        colv = iota_j(j)
+        pen = jnp.where(colv >= w1, jnp.int32(1) << 23, 0)
+        accf = jnp.minimum(accf, s13 + colv + pen)
+        if need_last:
+            accl = jnp.minimum(
+                accl, s13 + (jnp.int32(PACK_S - 1) - colv) + pen
+            )
+        return accf, accl
+
+    # Lane-group reduction: running minima live in a (TILE_I, 128) block —
+    # each 128-lane slice of the dot output (vreg-aligned, no shuffles)
+    # min-folds straight into it, so accumulator VMEM traffic shrinks by
+    # TILE_J/128 versus full-tile accumulators. Packed values carry the
+    # column index, so cross-lane-group mins stay exact.
+    def body_reduced(j, carry, masked):
+        accf, accl = carry
+        d = dot_chunk(j)
+        for k in range(tile_j // 128):
+            s13 = d[:, 128 * k : 128 * (k + 1)] << 13
+            colk = (j * tile_j + 128 * k
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1))
+            pen = (jnp.where(colk >= w1, jnp.int32(1) << 23, 0)
+                   if masked else 0)
+            accf = jnp.minimum(accf, s13 + (colk + pen))
+            if need_last:
+                accl = jnp.minimum(
+                    accl, s13 + ((jnp.int32(PACK_S - 1) - colk) + pen)
+                )
+        return accf, accl
+
+    nj_fast = min(w1 // tile_j, nj)
+    acc_w = 128 if reduce else tile_j
+    init = jnp.full((tile_i, acc_w), jnp.int32(1) << 24, jnp.int32)
+    accf, accl = init, init
+    if reduce:
+        for j in range(nj_fast):
+            accf, accl = body_reduced(j, (accf, accl), False)
+        for j in range(nj_fast, nj):
+            accf, accl = body_reduced(j, (accf, accl), True)
+    else:
+        for j in range(nj_fast):
+            accf, accl = body(j, (accf, accl))
+        for j in range(nj_fast, nj):
+            accf, accl = body_masked(j, (accf, accl))
+
+    outf = jnp.min(accf, axis=1)
+    outl = (jnp.min(accl, axis=1) if need_last
+            else jnp.zeros((tile_i,), jnp.int32))
+    return outf, outl
 
 
 def _minima_kernel_i8(
@@ -278,18 +512,11 @@ def _minima_kernel_i8(
     w1pad: int,
     tile_j: int,
     need_last: bool,
+    reduce: bool,
 ):
-    """int8-MXU variant of :func:`_minima_kernel`.
-
-    The v5e MXU runs int8 contractions at twice the bf16 rate, and the
-    packing moves to exact int32 VPU arithmetic:
-
-      packed_first = (dot << 13) + col          (min keeps smallest col)
-      packed_last  = (dot << 13) + (8191 - col) (min keeps largest col)
-
-    where ``dot = s = ham - pop(a)``. Everything is exact integer math — no
-    f32-representability argument needed.
-    """
+    """int8-MXU variant of :func:`_minima_kernel`: the v5e MXU runs int8
+    contractions at twice the bf16 rate, and the index packing moves to
+    exact int32 VPU arithmetic (see :func:`_sweep_minima_i8`)."""
     i = pl.program_id(1)
     tile_i = w0_ref.shape[1]
     bpad = b_scratch.shape[1]
@@ -319,45 +546,347 @@ def _minima_kernel_i8(
             preferred_element_type=jnp.int32,
         )  # (TILE_I, TILE_J) = s
 
-    def iota_j(j):
-        return j * tile_j + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile_j), 1
+    outf, outl = _sweep_minima_i8(
+        dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+    )
+    outf_ref[0, i, :] = outf
+    outl_ref[0, i, :] = outl
+
+
+def _minima_kernel_i8_stack(
+    cx_ref,  # (BPAD, n) bf16 — compare coefficients (X side)
+    cy_ref,  # (BPAD, n) bf16 — compare coefficients (Y side)
+    s0_ref,  # (1, n, TILE_I) raw left samples for this tile
+    s1_ref,  # (1, n, W1PAD) raw right row, revisited across i
+    outf_ref,  # (1, NI, TILE_I) i32 — packed first-minima
+    outl_ref,  # (1, NI, TILE_I) i32 — packed last-minima
+    b_scratch,  # (BPAD, W1PAD) int8 — on-chip descriptor bits, K-major
+    *,
+    nbits: int,
+    w1: int,
+    w1pad: int,
+    tile_j: int,
+    need_last: bool,
+    reduce: bool,
+    u16: bool,
+):
+    """Fused transform+search: consumes RAW image stacks and computes the
+    descriptor bits on-chip via compare-matrix MXU contractions
+    (:func:`_encode_b_i8_stack`), eliminating the separate descriptor
+    transform pass entirely (reference pipeline order ``cpu.cpp:49-95``
+    runs transform then search as distinct stages; here the transform is
+    a prologue of the search kernel's MXU schedule).
+    """
+    i = pl.program_id(1)
+    tile_i = s0_ref.shape[2]
+    cxb = cx_ref[...]
+    cyb = cy_ref[...]
+
+    @pl.when(i == 0)
+    def _():
+        nseg = w1pad // UNPACK_SEG
+
+        def encode_seg(k, carry):
+            seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
+            b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
+                _encode_b_i8_stack(seg, cxb, cyb, u16)
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+
+    a_i = _encode_a_i8_stack(s0_ref[0], cxb, cyb, nbits, u16)
+
+    nj = w1pad // tile_j
+
+    def dot_chunk(j):
+        b_tile = b_scratch[:, pl.ds(j * tile_j, tile_j)]
+        return jax.lax.dot_general(
+            a_i, b_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (TILE_I, TILE_J) = s
+
+    outf, outl = _sweep_minima_i8(
+        dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+    )
+    outf_ref[0, i, :] = outf
+    outl_ref[0, i, :] = outl
+
+
+def _minima_kernel_bf16_stack(
+    cx_ref,  # (BPAD, n) bf16 — compare coefficients (X side)
+    cy_ref,  # (BPAD, n) bf16 — compare coefficients (Y side)
+    s0_ref,  # (1, n, TILE_I) raw left samples for this tile
+    s1_ref,  # (1, n, W1PAD) raw right row, revisited across i
+    outf_ref,  # (1, NI, TILE_I) f32 — packed first-minima
+    outl_ref,  # (1, NI, TILE_I) f32 — packed last-minima
+    b_scratch,  # (BPAD, W1PAD) bf16 — on-chip bits + col rows, K-major
+    *,
+    nbits: int,
+    w1: int,
+    w1pad: int,
+    tile_j: int,
+    need_last: bool,
+    reduce: bool,
+    u16: bool,
+):
+    """bf16-engine fused transform+search (see :func:`_minima_kernel_i8_stack`
+    for the on-chip transform and :func:`_minima_kernel` for the
+    index-in-contraction packing)."""
+    i = pl.program_id(1)
+    tile_i = s0_ref.shape[2]
+    cxb = cx_ref[...]
+    cyb = cy_ref[...]
+
+    @pl.when(i == 0)
+    def _():
+        nseg = w1pad // UNPACK_SEG
+
+        def encode_seg(k, carry):
+            seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
+            b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
+                _encode_b_bf16_stack(
+                    seg, cxb, cyb, nbits, k * UNPACK_SEG, u16
+                )
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+
+    a_f = _encode_a_bf16_stack(
+        s0_ref[0], cxb, cyb, nbits, u16, sign=-1, extras=True
+    )
+
+    nj = w1pad // tile_j
+
+    def dotf_chunk(j):
+        b_tile = b_scratch[:, pl.ds(j * tile_j, tile_j)]
+        return jax.lax.dot_general(
+            a_f, b_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TILE_I, TILE_J) = s*8192 + col
+
+    outf, outl = _sweep_minima_bf16(
+        dotf_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+    )
+    outf_ref[0, i, :] = outf
+    outl_ref[0, i, :] = outl
+
+
+def _consistency_kernel_bf16_stack(
+    cx_ref,  # (BPAD, n) bf16
+    cy_ref,  # (BPAD, n) bf16
+    s0_ref,  # (1, n, TILE_I)
+    s1_ref,  # (1, n, W1PAD)
+    outf_ref,  # (1, NI, TILE_I) f32 — packed forward first-minima
+    outl_ref,  # (1, NI, TILE_I) f32 — packed forward last-minima
+    outrf_ref,  # (1, 1, W1PAD) f32 — packed reverse first-minima
+    outrl_ref,  # (1, 1, W1PAD) f32 — packed reverse last-minima
+    b_scratch,  # (BPAD, W1PAD) bf16
+    rev_scratch,  # (8, W1PAD) f32
+    *,
+    nbits: int,
+    w0: int,
+    w1: int,
+    w1pad: int,
+    tile_j: int,
+    tile_i: int,
+    no_dupes: bool,
+    u16: bool,
+):
+    """bf16-engine fused transform + forward/reverse Consistency scan
+    (combines :func:`_consistency_kernel` with the on-chip transform).
+    ``pop0`` for the reverse packing comes from a lane-sum of the query
+    bits; the second (bits-only) contraction supplies the pure ``s*8192``
+    the reverse direction needs."""
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    cxb = cx_ref[...]
+    cyb = cy_ref[...]
+
+    @pl.when(i == 0)
+    def _():
+        nseg = w1pad // UNPACK_SEG
+
+        def encode_seg(k, carry):
+            seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
+            b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
+                _encode_b_bf16_stack(
+                    seg, cxb, cyb, nbits, k * UNPACK_SEG, u16
+                )
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+        rev_scratch[...] = jnp.full(
+            (8, w1pad), jnp.float32(ACC_INIT * 2), jnp.float32
         )
 
-    def body(j, carry):
-        accf, accl = carry
-        s13 = dot_chunk(j) << 13
-        colv = iota_j(j)
-        accf = jnp.minimum(accf, s13 + colv)
-        if need_last:
-            accl = jnp.minimum(accl, s13 + (jnp.int32(PACK_S - 1) - colv))
+    a_f = _encode_a_bf16_stack(
+        s0_ref[0], cxb, cyb, nbits, u16, sign=-1, extras=True
+    )
+    a_s = _encode_a_bf16_stack(
+        s0_ref[0], cxb, cyb, nbits, u16, sign=-1, extras=False
+    )
+
+    # pop0 = number of set query bits: a_s carries -8192 per set bit and
+    # +8192 per clear bit over exactly nbits lanes.
+    sum_pm = jnp.sum(a_s.astype(jnp.float32), axis=1, keepdims=True)
+    pop0 = (jnp.float32(nbits)
+            - sum_pm * jnp.float32(1.0 / PACK_S)) * jnp.float32(0.5)
+    row0 = i * tile_i + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_i, 1), 0
+    )
+    rowpen = jnp.where(row0 >= w0, jnp.float32(PAD_PENALTY), 0.0)
+    radd_f = pop0 * jnp.float32(PACK_S) + row0.astype(jnp.float32) + rowpen
+    radd_l = (pop0 * jnp.float32(PACK_S)
+              + (jnp.float32(PACK_S - 1) - row0.astype(jnp.float32))
+              + rowpen)
+
+    nj = w1pad // tile_j
+
+    def chunk(j, accf, accl):
+        b_tile = b_scratch[:, pl.ds(j * tile_j, tile_j)]
+        dn = (((1,), (0,)), ((), ()))
+        dotf = jax.lax.dot_general(
+            a_f, b_tile, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        dots = jax.lax.dot_general(
+            a_s, b_tile, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        colv = j * tile_j + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_j), 1
+        )
+        pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
+        accf = jnp.minimum(accf, dotf + pen)
+        if no_dupes:
+            cvec = (jnp.float32(PACK_S - 1)
+                    - 2.0 * colv.astype(jnp.float32)) + pen
+            accl = jnp.minimum(accl, dotf + cvec)
+        rev_f = jnp.min(dots + radd_f, axis=0, keepdims=True)  # (1, TJ)
+        js = pl.ds(j * tile_j, tile_j)
+        rev_scratch[0:1, js] = jnp.minimum(rev_scratch[0:1, js], rev_f)
+        if no_dupes:
+            rev_l = jnp.min(dots + radd_l, axis=0, keepdims=True)
+            rev_scratch[1:2, js] = jnp.minimum(rev_scratch[1:2, js], rev_l)
         return accf, accl
 
-    def body_masked(j, carry):
-        accf, accl = carry
-        s13 = dot_chunk(j) << 13
-        colv = iota_j(j)
+    init = jnp.full((tile_i, tile_j), jnp.float32(ACC_INIT), jnp.float32)
+    accf, accl = init, init
+    for j in range(nj):
+        accf, accl = chunk(j, accf, accl)
+
+    outf_ref[0, i, :] = jnp.min(accf, axis=1)
+    outl_ref[0, i, :] = (jnp.min(accl, axis=1) if no_dupes
+                         else jnp.zeros((tile_i,), jnp.float32))
+
+    @pl.when(i == ni - 1)
+    def _():
+        outrf_ref[0, 0, :] = rev_scratch[0, :]
+        outrl_ref[0, 0, :] = (rev_scratch[1, :] if no_dupes
+                              else jnp.zeros((w1pad,), jnp.float32))
+
+
+def _consistency_kernel_i8_stack(
+    cx_ref,  # (BPAD, n) bf16
+    cy_ref,  # (BPAD, n) bf16
+    s0_ref,  # (1, n, TILE_I)
+    s1_ref,  # (1, n, W1PAD)
+    outf_ref,  # (1, NI, TILE_I) i32 — packed forward first-minima
+    outl_ref,  # (1, NI, TILE_I) i32 — packed forward last-minima
+    outrf_ref,  # (1, 1, W1PAD) i32 — packed reverse first-minima
+    outrl_ref,  # (1, 1, W1PAD) i32 — packed reverse last-minima
+    b_scratch,  # (BPAD, W1PAD) int8
+    rev_scratch,  # (8, W1PAD) i32
+    *,
+    nbits: int,
+    w0: int,
+    w1: int,
+    w1pad: int,
+    tile_j: int,
+    tile_i: int,
+    no_dupes: bool,
+    u16: bool,
+):
+    """Fused transform + forward/reverse Consistency scan from raw stacks
+    (see :func:`_minima_kernel_i8_stack` and :func:`_consistency_kernel_i8`).
+    The reverse packing needs the query popcount to restore the true
+    row-dependent Hamming cost; it falls out of the query encoding:
+    ``pop0 = (nbits - sum(a_i)) / 2`` since bit lanes carry -1/+1 and
+    masked lanes 0."""
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    cxb = cx_ref[...]
+    cyb = cy_ref[...]
+
+    @pl.when(i == 0)
+    def _():
+        nseg = w1pad // UNPACK_SEG
+
+        def encode_seg(k, carry):
+            seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
+            b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
+                _encode_b_i8_stack(seg, cxb, cyb, u16)
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+        rev_scratch[...] = jnp.full(
+            (8, w1pad), jnp.int32(1) << 25, jnp.int32
+        )
+
+    a_i = _encode_a_i8_stack(s0_ref[0], cxb, cyb, nbits, u16)
+    pop0 = (jnp.int32(nbits)
+            - jnp.sum(a_i.astype(jnp.int32), axis=1, keepdims=True)) >> 1
+
+    row0 = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0)
+    rowpen = jnp.where(row0 >= w0, jnp.int32(1) << 23, 0)
+    radd_f = (pop0 << 13) + row0 + rowpen
+    radd_l = (pop0 << 13) + (jnp.int32(PACK_S - 1) - row0) + rowpen
+
+    nj = w1pad // tile_j
+
+    def chunk(j, accf, accl):
+        b_tile = b_scratch[:, pl.ds(j * tile_j, tile_j)]
+        s13 = jax.lax.dot_general(
+            a_i, b_tile, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) << 13
+        colv = j * tile_j + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_j), 1
+        )
         pen = jnp.where(colv >= w1, jnp.int32(1) << 23, 0)
         accf = jnp.minimum(accf, s13 + colv + pen)
-        if need_last:
+        if no_dupes:
             accl = jnp.minimum(
                 accl, s13 + (jnp.int32(PACK_S - 1) - colv) + pen
             )
+        rev_f = jnp.min(s13 + radd_f, axis=0, keepdims=True)  # (1, TJ)
+        js = pl.ds(j * tile_j, tile_j)
+        rev_scratch[0:1, js] = jnp.minimum(rev_scratch[0:1, js], rev_f)
+        if no_dupes:
+            rev_l = jnp.min(s13 + radd_l, axis=0, keepdims=True)
+            rev_scratch[1:2, js] = jnp.minimum(rev_scratch[1:2, js], rev_l)
         return accf, accl
 
-    nj_fast = min(w1 // tile_j, nj)
     init = jnp.full((tile_i, tile_j), jnp.int32(1) << 24, jnp.int32)
     accf, accl = init, init
-    for j in range(nj_fast):
-        accf, accl = body(j, (accf, accl))
-    for j in range(nj_fast, nj):
-        accf, accl = body_masked(j, (accf, accl))
+    for j in range(nj):
+        accf, accl = chunk(j, accf, accl)
 
     outf_ref[0, i, :] = jnp.min(accf, axis=1)
-    if need_last:
-        outl_ref[0, i, :] = jnp.min(accl, axis=1)
-    else:
-        outl_ref[0, i, :] = jnp.zeros((tile_i,), jnp.int32)
+    outl_ref[0, i, :] = (jnp.min(accl, axis=1) if no_dupes
+                         else jnp.zeros((tile_i,), jnp.int32))
+
+    @pl.when(i == ni - 1)
+    def _():
+        outrf_ref[0, 0, :] = rev_scratch[0, :]
+        outrl_ref[0, 0, :] = (rev_scratch[1, :] if no_dupes
+                              else jnp.zeros((w1pad,), jnp.int32))
 
 
 def _consistency_kernel(
@@ -605,6 +1134,7 @@ def _pad_axis(x, axis: int, mult: int):
     jax.jit,
     static_argnames=(
         "nbits", "need_last", "tile_i", "tile_j", "interpret", "engine",
+        "reduce",
     ),
 )
 def _row_minima_words(
@@ -618,6 +1148,7 @@ def _row_minima_words(
     tile_j: int,
     interpret: bool,
     engine: str,
+    reduce: bool = False,
 ):
     h, w0, nw = words0.shape
     w1 = words1.shape[1]
@@ -645,6 +1176,7 @@ def _row_minima_words(
         w1pad=w1pad,
         tile_j=tile_j,
         need_last=need_last,
+        reduce=reduce,
     )
 
     grid = (h, ni)
@@ -843,6 +1375,341 @@ def _row_minima_consistency_words(
     return (cost0, first0, last0), (cost1, first1, last1)
 
 
+def _prep_stack_operands(stack0, stack1, tile_i: int, tile_j: int):
+    """(n, H, W) stacks -> row-major (H, n, Wpad) operands for the fused
+    kernels (sample axis on sublanes, pixels on lanes — the layout both the
+    compare-matrix contractions and the DMA want)."""
+    st0 = jnp.transpose(stack0, (1, 0, 2))
+    st1 = jnp.transpose(stack1, (1, 0, 2))
+    st0 = _pad_axis(st0, 2, tile_i)
+    st1 = _pad_axis(st1, 2, max(tile_j, UNPACK_SEG))
+    return st0, st1
+
+
+def _padded_coeffs(n: int, mode, bpad: int):
+    import numpy as np
+
+    from ..descriptor import compare_coeffs
+
+    cx, cy = compare_coeffs(n, mode)
+    nbits = cx.shape[0]
+    cxp = np.zeros((bpad, n), np.int32)
+    cyp = np.zeros((bpad, n), np.int32)
+    cxp[:nbits] = cx
+    cyp[:nbits] = cy
+    return cxp, cyp, nbits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mode", "need_last", "tile_i", "tile_j", "interpret", "engine",
+        "reduce",
+    ),
+)
+def _row_minima_stack(
+    stack0,
+    stack1,
+    *,
+    mode,
+    need_last: bool,
+    tile_i: int,
+    tile_j: int,
+    interpret: bool,
+    engine: str,
+    reduce: bool,
+):
+    from ..config import actual_bits
+
+    n, h, w0 = stack0.shape
+    w1 = stack1.shape[2]
+    nbits = actual_bits(n, mode)
+    if engine == "i8":
+        bpad = max(128, ((nbits + 127) // 128) * 128)
+        kernel_fn, b_dtype, out_dtype = (
+            _minima_kernel_i8_stack, jnp.int8, jnp.int32,
+        )
+    else:
+        bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+        kernel_fn, b_dtype, out_dtype = (
+            _minima_kernel_bf16_stack, jnp.bfloat16, jnp.float32,
+        )
+    cxp, cyp, _ = _padded_coeffs(n, mode, bpad)
+    u16 = stack0.dtype == jnp.uint16
+
+    st0, st1 = _prep_stack_operands(stack0, stack1, tile_i, tile_j)
+    w0pad, w1pad = st0.shape[2], st1.shape[2]
+    ni = w0pad // tile_i
+
+    kernel = functools.partial(
+        kernel_fn,
+        nbits=nbits,
+        w1=w1,
+        w1pad=w1pad,
+        tile_j=tile_j,
+        need_last=need_last,
+        reduce=reduce,
+        u16=u16,
+    )
+
+    cxj = jnp.asarray(cxp, jnp.bfloat16)
+    cyj = jnp.asarray(cyp, jnp.bfloat16)
+    grid = (h, ni)
+    mf, ml = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, tile_i), lambda r, i: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, w1pad), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
+            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((bpad, w1pad), b_dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * w0pad * w1pad * bpad * (2 if need_last else 1),
+            bytes_accessed=h * (w0pad + w1pad) * n + h * w0pad * 8,
+            transcendentals=0,
+        ),
+    )(cxj, cyj, st0, st1)
+
+    # No cost surface: the fused path never materializes pop(a), and no
+    # production consumer needs the raw Hamming cost (search.py uses only
+    # the argmin columns).
+    mf = mf.reshape(h, w0pad)[:, :w0]
+    if engine == "i8":
+        first = mf & jnp.int32(PACK_S - 1)
+        if need_last:
+            ml = ml.reshape(h, w0pad)[:, :w0]
+            last = (PACK_S - 1) - (ml & jnp.int32(PACK_S - 1))
+        else:
+            last = None
+        return None, first, last
+    sf = jnp.floor(mf / PACK_S)
+    first = (mf - sf * PACK_S).astype(jnp.int32)
+    if need_last:
+        ml = ml.reshape(h, w0pad)[:, :w0]
+        sl = jnp.floor(ml / PACK_S)
+        last = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
+    else:
+        last = None
+    return None, first, last
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mode", "no_dupes", "tile_i", "tile_j", "interpret", "engine",
+    ),
+)
+def _row_minima_consistency_stack(
+    stack0,
+    stack1,
+    *,
+    mode,
+    no_dupes: bool,
+    tile_i: int,
+    tile_j: int,
+    interpret: bool,
+    engine: str,
+):
+    from ..config import actual_bits
+
+    n, h, w0 = stack0.shape
+    w1 = stack1.shape[2]
+    nbits = actual_bits(n, mode)
+    if engine == "i8":
+        bpad = max(128, ((nbits + 127) // 128) * 128)
+        kernel_fn, b_dtype, out_dtype = (
+            _consistency_kernel_i8_stack, jnp.int8, jnp.int32,
+        )
+    else:
+        bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+        kernel_fn, b_dtype, out_dtype = (
+            _consistency_kernel_bf16_stack, jnp.bfloat16, jnp.float32,
+        )
+    cxp, cyp, _ = _padded_coeffs(n, mode, bpad)
+    u16 = stack0.dtype == jnp.uint16
+
+    st0, st1 = _prep_stack_operands(stack0, stack1, tile_i, tile_j)
+    w0pad, w1pad = st0.shape[2], st1.shape[2]
+    ni = w0pad // tile_i
+
+    kernel = functools.partial(
+        kernel_fn,
+        nbits=nbits,
+        w0=w0,
+        w1=w1,
+        w1pad=w1pad,
+        tile_j=tile_j,
+        tile_i=tile_i,
+        no_dupes=no_dupes,
+        u16=u16,
+    )
+
+    cxj = jnp.asarray(cxp, jnp.bfloat16)
+    cyj = jnp.asarray(cyp, jnp.bfloat16)
+    grid = (h, ni)
+    mf, ml, mrf, mrl = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, tile_i), lambda r, i: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, w1pad), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w1pad), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w1pad), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
+            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
+            jax.ShapeDtypeStruct((h, 1, w1pad), out_dtype),
+            jax.ShapeDtypeStruct((h, 1, w1pad), out_dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bpad, w1pad), b_dtype),
+            pltpu.VMEM((8, w1pad), out_dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * h * w0pad * w1pad * bpad,
+            bytes_accessed=h * (w0pad + w1pad) * n
+            + h * (w0pad + w1pad) * 8,
+            transcendentals=0,
+        ),
+    )(cxj, cyj, st0, st1)
+
+    mf = mf.reshape(h, w0pad)[:, :w0]
+    mrf = mrf.reshape(h, w1pad)[:, :w1]
+    if engine == "i8":
+        mask = jnp.int32(PACK_S - 1)
+        first0 = mf & mask
+        first1 = mrf & mask
+        if no_dupes:
+            ml = ml.reshape(h, w0pad)[:, :w0]
+            last0 = (PACK_S - 1) - (ml & mask)
+            mrl = mrl.reshape(h, w1pad)[:, :w1]
+            last1 = (PACK_S - 1) - (mrl & mask)
+        else:
+            last0 = None
+            last1 = None
+        return (None, first0, last0), (None, first1, last1)
+
+    def dec_first(m):
+        s = jnp.floor(m / PACK_S)
+        return (m - s * PACK_S).astype(jnp.int32)
+
+    def dec_last(m):
+        s = jnp.floor(m / PACK_S)
+        return (PACK_S - 1) - (m - s * PACK_S).astype(jnp.int32)
+
+    first0 = dec_first(mf)
+    first1 = dec_first(mrf)
+    if no_dupes:
+        last0 = dec_last(ml.reshape(h, w0pad)[:, :w0])
+        last1 = dec_last(mrl.reshape(h, w1pad)[:, :w1])
+    else:
+        last0 = None
+        last1 = None
+    return (None, first0, last0), (None, first1, last1)
+
+
+def row_minima_stack(
+    stack0,
+    stack1,
+    *,
+    mode,
+    need_last: bool,
+    tile_i: int = DEF_TILE_I,
+    tile_j: int = DEF_TILE_J,
+    interpret: bool = False,
+    engine: str | None = None,
+    reduce: bool | None = None,
+):
+    """Fused transform+search surface: raw (n, H, W) u8/u16 stacks in,
+    packed-argmin columns out. Raises ValueError for LIMITED n<4 (constant
+    descriptor bit — see :func:`..descriptor.compare_coeffs`); callers
+    fall back to the words path."""
+    _, h, w0 = stack0.shape
+    w1 = stack1.shape[2]
+    if max(w0, w1) >= PACK_S:
+        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
+    tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
+    return _row_minima_stack(
+        stack0,
+        stack1,
+        mode=mode,
+        need_last=need_last,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        interpret=interpret,
+        engine=engine or DEFAULT_ENGINE,
+        reduce=DEFAULT_REDUCE if reduce is None else reduce,
+    )
+
+
+def row_minima_consistency_stack(
+    stack0,
+    stack1,
+    *,
+    mode,
+    no_dupes: bool,
+    tile_i: int = DEF_TILE_I,
+    tile_j: int = DEF_TILE_J,
+    interpret: bool = False,
+    engine: str | None = None,
+):
+    """Fused transform + Consistency-search surface (raw stacks in)."""
+    _, h, w0 = stack0.shape
+    w1 = stack1.shape[2]
+    if max(w0, w1) >= PACK_S:
+        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
+    tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
+    return _row_minima_consistency_stack(
+        stack0,
+        stack1,
+        mode=mode,
+        no_dupes=no_dupes,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        interpret=interpret,
+        engine=engine or DEFAULT_ENGINE,
+    )
+
+
 def _snap_tiles(w0: int, w1: int, tile_i: int, tile_j: int):
     """tile_j must divide the padded width (a multiple of UNPACK_SEG), so it
     is snapped to a power of two in [128, UNPACK_SEG]."""
@@ -932,6 +1799,7 @@ def row_minima_pallas_words(
     tile_j: int = DEF_TILE_J,
     interpret: bool = False,
     engine: str | None = None,
+    reduce: bool | None = None,
 ):
     """Packed-words surface of the Hamming-scan kernel (production path)."""
     h, w0, _ = words0.shape
@@ -949,6 +1817,7 @@ def row_minima_pallas_words(
         tile_j=tile_j,
         interpret=interpret,
         engine=engine or DEFAULT_ENGINE,
+        reduce=DEFAULT_REDUCE if reduce is None else reduce,
     )
 
 
@@ -961,6 +1830,7 @@ def row_minima_pallas(
     tile_j: int = DEF_TILE_J,
     interpret: bool = False,
     engine: str | None = None,
+    reduce: bool | None = None,
 ):
     """Drop-in Pallas analogue of :func:`..search.row_minima_xla`.
 
@@ -985,4 +1855,5 @@ def row_minima_pallas(
         tile_j=tile_j,
         interpret=interpret,
         engine=engine,
+        reduce=reduce,
     )

@@ -49,17 +49,18 @@ def _validate_inputs(stack0, stack1):
 
 def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
     n = stack0.shape[0]
-    # Packed-words fast path: descriptors are OR-ed into uint32 lanes as the
-    # comparisons are computed — no (H, W, B) boolean tensors.
     from .config import actual_bits
 
     nbits = actual_bits(n, cfg.mode)
-    # The XLA word-packing path wins inside the fused pipeline program: the
-    # Pallas transform kernel (kernels/transform.py) is faster standalone
-    # (27 vs 60 ms at 33x2200x3300) but loses its edge under fusion and
-    # triples the pipeline's compile time; it remains available for callers
-    # that transform once and search many times.
-    if backend in ("pallas", "pallas_interpret") and n < 10:
+    if _search.fused_stack_search_ok(cfg.mode, n, backend):
+        # Fused transform+search kernel: descriptor bits are computed
+        # ON-CHIP from compare-coefficient MXU contractions
+        # (descriptor.compare_coeffs / kernels/hamming.py) — the separate
+        # transform pass and its packed-words HBM round-trip disappear.
+        disp = _search.search_stack(
+            stack0, stack1, cfg.mode, cfg.variant, backend=backend
+        )
+    elif backend in ("pallas", "pallas_interpret") and n < 10:
         # For small stacks XLA's rematerializer slices the transform's
         # temporal planes into (H, W, 1) buffers with a 128x-padded layout
         # (T(8,128) on a unit minor dim) and the fused program OOMs HBM at
@@ -73,15 +74,20 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
         if words0.shape[-1] == 1:
             words0 = jnp.concatenate([words0, jnp.zeros_like(words0)], -1)
             words1 = jnp.concatenate([words1, jnp.zeros_like(words1)], -1)
+        disp = _search.search_words(
+            words0, words1, nbits, cfg.variant, backend=backend
+        )
     else:
+        # Packed-words path: descriptors are OR-ed into uint32 lanes as the
+        # comparisons are computed — no (H, W, B) boolean tensors.
         # min_words=2: (H, W, 1) uint32 intermediates provoke the same
         # padded-layout blow-up; an all-zero second word is inert in every
         # consumer.
         words0 = _descriptor.descriptor_words(stack0, cfg.mode, min_words=2)
         words1 = _descriptor.descriptor_words(stack1, cfg.mode, min_words=2)
-    disp = _search.search_words(
-        words0, words1, nbits, cfg.variant, backend=backend
-    )
+        disp = _search.search_words(
+            words0, words1, nbits, cfg.variant, backend=backend
+        )
 
     if cfg.nxcorr_threshold is None:
         return disp, None

@@ -161,6 +161,33 @@ def search(bits0, bits1, variant: SearchVariant, backend: str = "auto"):
     )
 
 
+def _finish_nodupes(first, last, w0: int):
+    col0 = jnp.arange(w0, dtype=jnp.int32)[None, :]
+    valid = first == last
+    disp = col0 - first
+    return jnp.where(valid, disp, jnp.int32(INVALID_I16)).astype(jnp.int16)
+
+
+def _finish_consistency(
+    first0, last0, first1, last1, h: int, w0: int, w1: int,
+    variant: Consistency,
+):
+    col0 = jnp.arange(w0, dtype=jnp.int32)[None, :]
+    valid = jnp.ones((h, w0), dtype=bool)
+    rvalid = jnp.ones((h, w1), dtype=bool)
+    if variant.no_dupes:
+        valid = first0 == last0
+        rvalid = first1 == last1
+    bc1 = first0
+    rc0 = jnp.take_along_axis(first1, bc1, axis=1)
+    rok = jnp.take_along_axis(rvalid, bc1, axis=1)
+    valid = (
+        valid & rok & (jnp.abs(col0 - rc0) <= jnp.int32(variant.max_lr_diff))
+    )
+    disp = (col0 + rc0) // 2 - bc1
+    return jnp.where(valid, disp, jnp.int32(INVALID_I16)).astype(jnp.int16)
+
+
 def search_words(
     words0, words1, nbits: int, variant: SearchVariant, backend: str = "auto"
 ):
@@ -168,42 +195,85 @@ def search_words(
     backend = resolve_backend(backend)
     h, w0, _ = words0.shape
     w1 = words1.shape[1]
-    col0 = jnp.arange(w0, dtype=jnp.int32)[None, :]
 
     if isinstance(variant, NoDuplicates):
         _, first, last = _row_minima_w(words0, words1, nbits, True, backend)
-        valid = first == last
-        disp = col0 - first
-    else:
-        assert isinstance(variant, Consistency)
-        nodupes = variant.no_dupes
-        if backend in ("pallas", "pallas_interpret"):
-            # Fused kernel: forward + reverse minima from ONE sweep of the
-            # cost matrix (kernels/hamming.py) — ~1.8x over two passes.
-            from .kernels.hamming import row_minima_consistency_words
+        return _finish_nodupes(first, last, w0)
+    assert isinstance(variant, Consistency)
+    nodupes = variant.no_dupes
+    if backend in ("pallas", "pallas_interpret"):
+        # Fused kernel: forward + reverse minima from ONE sweep of the
+        # cost matrix (kernels/hamming.py) — ~1.8x over two passes.
+        from .kernels.hamming import row_minima_consistency_words
 
-            (_, first0, last0), (_, first1, last1) = (
-                row_minima_consistency_words(
-                    words0, words1, nbits=nbits, no_dupes=nodupes,
-                    interpret=(backend == "pallas_interpret"),
-                )
+        (_, first0, last0), (_, first1, last1) = (
+            row_minima_consistency_words(
+                words0, words1, nbits=nbits, no_dupes=nodupes,
+                interpret=(backend == "pallas_interpret"),
             )
-        else:
-            _, first0, last0 = _row_minima_w(
-                words0, words1, nbits, nodupes, backend)
-            _, first1, last1 = _row_minima_w(
-                words1, words0, nbits, nodupes, backend)
-        valid = jnp.ones((h, w0), dtype=bool)
-        rvalid = jnp.ones((h, w1), dtype=bool)
-        if nodupes:
-            valid = first0 == last0
-            rvalid = first1 == last1
-        bc1 = first0
-        rc0 = jnp.take_along_axis(first1, bc1, axis=1)
-        rok = jnp.take_along_axis(rvalid, bc1, axis=1)
-        valid = (
-            valid & rok & (jnp.abs(col0 - rc0) <= jnp.int32(variant.max_lr_diff))
         )
-        disp = (col0 + rc0) // 2 - bc1
+    else:
+        _, first0, last0 = _row_minima_w(
+            words0, words1, nbits, nodupes, backend)
+        _, first1, last1 = _row_minima_w(
+            words1, words0, nbits, nodupes, backend)
+    if not nodupes:
+        last0 = last1 = None
+    return _finish_consistency(
+        first0, last0, first1, last1, h, w0, w1, variant
+    )
 
-    return jnp.where(valid, disp, jnp.int32(INVALID_I16)).astype(jnp.int16)
+
+def fused_stack_search_ok(mode, n: int, backend: str) -> bool:
+    """Eligibility of the fused transform+search kernel: pallas backend and
+    no constant descriptor bit (LIMITED n<4, see descriptor.compare_coeffs)."""
+    if backend not in ("pallas", "pallas_interpret"):
+        return False
+    from .config import TransformMode
+
+    return not (mode == TransformMode.LIMITED and n < 4)
+
+
+def search_stack(
+    stack0, stack1, mode, variant: SearchVariant, backend: str = "auto"
+):
+    """Correspondence search straight from raw (n, H, W) image stacks.
+
+    On the Pallas backend this runs the FUSED transform+search kernel
+    (descriptor bits computed on-chip from compare-coefficient MXU
+    contractions, ``kernels/hamming.py``) — the separate descriptor pass
+    and its packed-words HBM round-trip disappear. Other backends (or the
+    LIMITED n<4 corner) fall back to transform-then-search with identical
+    results.
+    """
+    from .config import actual_bits
+    from .descriptor import descriptor_words
+
+    backend = resolve_backend(backend)
+    n, h, w0 = stack0.shape
+    w1 = stack1.shape[2]
+    if not fused_stack_search_ok(mode, n, backend):
+        nbits = actual_bits(n, mode)
+        return search_words(
+            descriptor_words(stack0, mode),
+            descriptor_words(stack1, mode),
+            nbits, variant, backend,
+        )
+    interpret = backend == "pallas_interpret"
+    if isinstance(variant, NoDuplicates):
+        from .kernels.hamming import row_minima_stack
+
+        _, first, last = row_minima_stack(
+            stack0, stack1, mode=mode, need_last=True, interpret=interpret
+        )
+        return _finish_nodupes(first, last, w0)
+    assert isinstance(variant, Consistency)
+    from .kernels.hamming import row_minima_consistency_stack
+
+    (_, first0, last0), (_, first1, last1) = row_minima_consistency_stack(
+        stack0, stack1, mode=mode, no_dupes=variant.no_dupes,
+        interpret=interpret,
+    )
+    return _finish_consistency(
+        first0, last0, first1, last1, h, w0, w1, variant
+    )

@@ -104,3 +104,44 @@ def test_descriptor_words_pallas_parity(rng):
         want = descriptor.descriptor_words(s, mode)
         got = descriptor_words_pallas(s, mode, interpret=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_compare_coeffs_bit_exact(rng):
+    """The comparison-matrix form (bit k = dot(CX[k], s) < dot(CY[k], s))
+    reproduces every descriptor bit — the algebraic foundation of the fused
+    transform+search kernel (kernels/hamming.py)."""
+    import pytest as _pytest
+
+    for n, mode in [(4, TransformMode.LIMITED), (33, TransformMode.LIMITED),
+                    (65, TransformMode.LIMITED), (2, TransformMode.FULL),
+                    (17, TransformMode.FULL)]:
+        for dtype in (np.uint8, np.uint16):
+            hi = np.iinfo(dtype).max
+            s = rng.integers(0, hi + 1, (n, 5, 9)).astype(dtype)
+            ref = np.asarray(descriptor.descriptor_bits(s, mode))
+            cx, cy = descriptor.compare_coeffs(n, mode)
+            flat = s.reshape(n, -1).astype(np.int64)
+            got = ((cx @ flat) < (cy @ flat)).T.reshape(ref.shape)
+            np.testing.assert_array_equal(got, ref)
+    with _pytest.raises(ValueError):
+        descriptor.compare_coeffs(3, TransformMode.LIMITED)
+
+
+def test_compare_coeffs_mean_rounding_equivalence(rng):
+    """n*s[t] < sum is exactly the reference's s[t] < fl(sum/n) even at
+    near-tie sums (the division's rounding never crosses an integer)."""
+    for n in (5, 33):
+        # Constant series (exact ties) + off-by-one perturbations.
+        for base in (0, 1, 100, 255):
+            s = np.full((n, 1, 3), base, np.uint8)
+            s[0, 0, 1] = min(255, base + 1)
+            s[0, 0, 2] = max(0, base - 1)
+            ref = np.asarray(
+                descriptor.descriptor_bits(s, TransformMode.LIMITED)
+            ) if n >= 4 else None
+            if ref is None:
+                continue
+            cx, cy = descriptor.compare_coeffs(n, TransformMode.LIMITED)
+            flat = s.reshape(n, -1).astype(np.int64)
+            got = ((cx @ flat) < (cy @ flat)).T.reshape(ref.shape)
+            np.testing.assert_array_equal(got, ref)

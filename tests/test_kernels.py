@@ -103,3 +103,97 @@ def test_consistency_fused_through_search(rng):
             search.search(b0, b1, variant, backend="pallas_interpret")
         )
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", [TransformMode.LIMITED, TransformMode.FULL])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+@pytest.mark.parametrize("engine", ["i8", "bf16"])
+def test_fused_stack_minima_matches_words(rng, mode, dtype, engine):
+    """Fused transform+search (raw stacks in, on-chip descriptor bits via
+    compare-coefficient contractions) is bit-identical to transform-then-
+    search on packed words."""
+    from libbicos_tpu.config import actual_bits
+    from libbicos_tpu.kernels.hamming import (
+        row_minima_pallas_words, row_minima_stack,
+    )
+
+    n = 6 if mode == TransformMode.FULL else 10
+    from conftest import make_stack_pair
+
+    s0, s1, _ = make_stack_pair(rng, n, 3, 150, dtype=dtype)
+    nbits = actual_bits(n, mode)
+    w0 = descriptor.descriptor_words(s0, mode)
+    w1 = descriptor.descriptor_words(s1, mode)
+    _, f_ref, l_ref = row_minima_pallas_words(
+        w0, w1, nbits=nbits, need_last=True, interpret=True, engine=engine
+    )
+    _, f, l = row_minima_stack(
+        s0, s1, mode=mode, need_last=True, interpret=True, engine=engine
+    )
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_array_equal(np.asarray(l), np.asarray(l_ref))
+
+
+@pytest.mark.parametrize("no_dupes", [True, False])
+@pytest.mark.parametrize("engine", ["i8", "bf16"])
+def test_fused_stack_consistency_matches_words(rng, no_dupes, engine):
+    from libbicos_tpu.config import actual_bits
+    from libbicos_tpu.kernels.hamming import (
+        row_minima_consistency_stack, row_minima_consistency_words,
+    )
+    from conftest import make_stack_pair
+
+    n, mode = 8, TransformMode.LIMITED
+    s0, s1, _ = make_stack_pair(rng, n, 3, 120)
+    nbits = actual_bits(n, mode)
+    w0 = descriptor.descriptor_words(s0, mode)
+    w1 = descriptor.descriptor_words(s1, mode)
+    ref = row_minima_consistency_words(
+        w0, w1, nbits=nbits, no_dupes=no_dupes, interpret=True, engine=engine
+    )
+    got = row_minima_consistency_stack(
+        s0, s1, mode=mode, no_dupes=no_dupes, interpret=True, engine=engine
+    )
+    for (rg, rr) in zip(got, ref):
+        for g, r in zip(rg[1:], rr[1:]):  # skip cost (None on fused path)
+            if r is None:
+                assert g is None
+            else:
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_search_stack_matches_search_words(rng):
+    """search_stack == transform+search_words for every variant, including
+    the LIMITED n<4 fallback (constant descriptor bit)."""
+    from libbicos_tpu.config import actual_bits
+    from conftest import make_stack_pair
+
+    for n, mode in [(3, TransformMode.LIMITED), (7, TransformMode.LIMITED),
+                    (5, TransformMode.FULL)]:
+        s0, s1, _ = make_stack_pair(rng, n, 3, 90)
+        nbits = actual_bits(n, mode)
+        w0 = descriptor.descriptor_words(s0, mode)
+        w1 = descriptor.descriptor_words(s1, mode)
+        for variant in (NoDuplicates(), Consistency(1, True), Consistency(2)):
+            want = np.asarray(search.search_words(
+                w0, w1, nbits, variant, backend="pallas_interpret"))
+            got = np.asarray(search.search_stack(
+                s0, s1, mode, variant, backend="pallas_interpret"))
+            np.testing.assert_array_equal(got, want)
+
+
+def test_fused_stack_reduce_variant(rng):
+    """The lane-group-reduced accumulator strategy stays exact."""
+    from conftest import make_stack_pair
+    from libbicos_tpu.kernels.hamming import row_minima_stack
+
+    s0, s1, _ = make_stack_pair(rng, 10, 2, 200)
+    mode = TransformMode.LIMITED
+    _, f0, l0 = row_minima_stack(
+        s0, s1, mode=mode, need_last=True, interpret=True, reduce=False
+    )
+    _, f1, l1 = row_minima_stack(
+        s0, s1, mode=mode, need_last=True, interpret=True, reduce=True
+    )
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
