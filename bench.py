@@ -29,12 +29,18 @@ BASELINE_SEARCH_MP_S = 770.0  # u32 bicos_kernel_smem, BASELINE.md
 
 
 def _timeit(fn, reps):
+    """fn(k) -> output for perturbation index k (axon dedupes identical
+    executions, so every rep must see distinct inputs); a scalar fetch
+    inside the timed region forces execution (block_until_ready alone can
+    return before the lazy runtime has actually run the program)."""
     import jax
 
     times = []
-    for _ in range(reps):
+    for k in range(1, reps + 1):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        out = fn(k)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = float(leaf[(0,) * leaf.ndim])
         times.append((time.perf_counter() - t0) * 1e3)
     return float(np.median(times)), times
 
@@ -74,6 +80,15 @@ def main():
     d1 = jnp.asarray(s1)
     jax.block_until_ready((d0, d1))
 
+    # Distinct left stacks per timed rep (axon dedupes identical
+    # executions); XORing low bits preserves the workload's character.
+    _pc = {0: d0}
+
+    def pert(k):
+        if k not in _pc:
+            _pc[k] = jax.block_until_ready(d0 ^ np.uint8(k))
+        return _pc[k]
+
     if mode == "search":
         # Hamming-scan production path (vs 770 MP/s RTX 4090 anchor):
         # fused transform+search straight from the raw stacks.
@@ -86,7 +101,9 @@ def main():
                 a, b, cfg.mode, bicos.NoDuplicates(), backend=bk)
         )
         jax.block_until_ready(fn(d0, d1))  # compile
-        med, times = _timeit(lambda: fn(d0, d1), reps)
+        for k in range(1, reps + 1):
+            pert(k)
+        med, times = _timeit(lambda k: fn(pert(k), d1), reps)
         mps = h * w / 1e6 / (med / 1e3)
         print(f"search times ms: {[f'{t:.1f}' for t in times]}",
               file=sys.stderr)
@@ -108,8 +125,19 @@ def main():
         b1 = jnp.asarray(np.stack([s1] * batch))
         jax.block_until_ready(
             bicos.match_batched(b0, b1, cfg, backend=backend))
+        _bc = {}
+
+        def bpert(k):
+            if k not in _bc:
+                _bc[k] = jax.block_until_ready(b0 ^ np.uint8(k))
+            return _bc[k]
+
+        for k in range(1, reps + 1):
+            bpert(k)
         med, times = _timeit(
-            lambda: bicos.match_batched(b0, b1, cfg, backend=backend), reps)
+            lambda k: bicos.match_batched(
+                bpert(k), b1, cfg, backend=backend),
+            reps)
         sps = batch / (med / 1e3)
         print(f"batched times ms: {[f'{t:.1f}' for t in times]}",
               file=sys.stderr)
@@ -134,8 +162,10 @@ def main():
     print(f"compile+first run: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
+    for k in range(1, reps + 1):
+        pert(k)
     med, times = _timeit(
-        lambda: bicos.match(d0, d1, cfg, backend=backend), reps
+        lambda k: bicos.match(pert(k), d1, cfg, backend=backend), reps
     )
     valid = float(np.isfinite(np.asarray(out)).mean())
     print(f"e2e times ms: {[f'{t:.1f}' for t in times]}; "

@@ -105,22 +105,29 @@ def main():
                  {"mp_per_s": round(mp / (ms / 1e3), 1)})
 
     # --- Hamming scan (bench/cuda.cu:192-256 analogue) -------------------
+    # Production path: fused transform+search straight from raw stacks
+    # (kernels/hamming.py); the transform rides inside the kernel, so these
+    # rows are comparable to the reference's transform+bicos kernel pair.
+    from libbicos_tpu.config import actual_bits
+
     for n, mode in [(10, TransformMode.LIMITED), (33, TransformMode.LIMITED),
                     (16, TransformMode.FULL)]:
         s0, s1, _ = synthetic_stack_pair(n, h, w)
         d0, d1 = jnp.asarray(s0), jnp.asarray(s1)
-        tf = jax.jit(lambda s, m=mode: D.descriptor_bits(s, m))
-        bits1 = jax.block_until_ready(tf(d1))
-        nd = jax.jit(lambda a, b: S.search(a, b, bicos.NoDuplicates(),
-                                           backend=backend))
-        ms = timeit(nd, lambda k: (tf(d0 ^ np.uint8(k)), bits1), reps)
-        nbits = bits1.shape[-1]
+        nbits = actual_bits(n, mode)
+
+        def pert(k):
+            return (jax.block_until_ready(d0 ^ np.uint8(k)), d1)
+
+        nd = jax.jit(lambda a, b, m=mode: S.search_stack(
+            a, b, m, bicos.NoDuplicates(), backend=backend))
+        ms = timeit(nd, pert, reps)
         emit(f"search_nodupes_{mode.name.lower()}_n{n}_b{nbits}", ms,
              {"mp_per_s": round(mp / (ms / 1e3), 1)})
-        cons = jax.jit(lambda a, b: S.search(
-            a, b, bicos.Consistency(max_lr_diff=1, no_dupes=False),
+        cons = jax.jit(lambda a, b, m=mode: S.search_stack(
+            a, b, m, bicos.Consistency(max_lr_diff=1, no_dupes=False),
             backend=backend))
-        ms = timeit(cons, lambda k: (tf(d0 ^ np.uint8(k)), bits1), reps)
+        ms = timeit(cons, pert, reps)
         emit(f"search_consistency_{mode.name.lower()}_n{n}_b{nbits}", ms,
              {"mp_per_s": round(mp / (ms / 1e3), 1)})
 
@@ -142,9 +149,13 @@ def main():
             d, a, b, 0.9, 2.0 * n, Precision.SINGLE))
         asp = jax.jit(lambda d, a, b: A.agree_subpixel(
             d, a, b, 0.9, 0.25, 2.0 * n, Precision.SINGLE))
-    ms = timeit(ai, lambda k: (disp, d0 ^ np.uint8(k), d1), reps)
+    ms = timeit(
+        ai, lambda k: (disp, jax.block_until_ready(d0 ^ np.uint8(k)), d1),
+        reps)
     emit(f"agree_integer_n{n}", ms, {"mp_per_s": round(mp / (ms / 1e3), 1)})
-    ms = timeit(asp, lambda k: (disp, d0 ^ np.uint8(k), d1), reps)
+    ms = timeit(
+        asp, lambda k: (disp, jax.block_until_ready(d0 ^ np.uint8(k)), d1),
+        reps)
     emit(f"agree_subpixel_n{n}_step0.25", ms,
          {"mp_per_s": round(mp / (ms / 1e3), 1)})
 
@@ -160,7 +171,10 @@ def main():
                 mode=TransformMode.FULL,
             )
             fn = lambda a, b, c=cfg: bicos.match(a, b, c, backend=backend)
-            ms = timeit(fn, lambda k: (d0 ^ np.uint8(k), d1), reps)
+            ms = timeit(
+                fn,
+                lambda k: (jax.block_until_ready(d0 ^ np.uint8(k)), d1),
+                reps)
             emit(f"integration_n{n}_step{step}", ms,
                  {"mp_per_s": round(mp / (ms / 1e3), 1)})
 

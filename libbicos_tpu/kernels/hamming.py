@@ -71,12 +71,15 @@ DEF_TILE_J = 512
 # Right-row unpack proceeds in segments to bound shift/mask temporaries.
 UNPACK_SEG = 512
 
-# MXU engine: "i8" contracts int8 bits at 2x the bf16 rate (v5e: 394 TOPS
-# int8 vs 197 TFLOPS bf16) and packs indices in exact int32 on the VPU;
-# "bf16" folds the column index into the contraction (see module docstring).
+# MXU engine: "bf16" folds the column index into the contraction so the
+# entire first-argmin epilogue is ONE f32 min per cost entry; "i8" contracts
+# int8 bits at 2x the bf16 MXU rate (v5e: 394 TOPS int8 vs 197 TFLOPS bf16)
+# but must pack (s << 13) + col on the VPU afterwards. Measured at
+# 33x2200x3300 on one v5e core the kernel is VPU-epilogue-bound, so bf16's
+# 3-op epilogue beats i8's 5-op one: 106 ms vs 160 ms fused — bf16 default.
 import os as _os
 
-DEFAULT_ENGINE = _os.environ.get("BICOS_MXU_ENGINE", "i8")
+DEFAULT_ENGINE = _os.environ.get("BICOS_MXU_ENGINE", "bf16")
 # Accumulator strategy: "1" keeps (TILE_I, 128) running minima and reduces
 # each dot chunk lane-group by lane-group (4x less accumulator VMEM traffic
 # than full (TILE_I, TILE_J) accumulators); "0" keeps full-tile accumulators.

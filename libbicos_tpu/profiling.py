@@ -64,21 +64,39 @@ def stage_timings(stack0, stack1, cfg=None, *, backend: str = "auto") -> Dict:
         _ = np.asarray(leaf[(0,) * leaf.ndim])
         return (time.perf_counter() - t0) * 1e3
 
-    tf = jax.jit(lambda s: _descriptor.descriptor_bits(s, cfg.mode))
-    bits1 = jax.block_until_ready(tf(s1))
-    t_transform = 2 * timed(tf, 1)
+    if _search.fused_stack_search_ok(cfg.mode, s0.shape[0], backend):
+        # Production path: the transform rides inside the fused search
+        # kernel, so there is no separate transform stage to time.
+        t_transform = 0.0
+        sf = jax.jit(lambda a: _search.search_stack(
+            a, s1, cfg.mode, cfg.variant, backend=backend))
+        t_search = timed(sf, 2)
+    else:
+        tf = jax.jit(lambda s: _descriptor.descriptor_bits(s, cfg.mode))
+        bits1 = jax.block_until_ready(tf(s1))
+        t_transform = 2 * timed(tf, 1)
 
-    sf = jax.jit(
-        lambda a: _search.search(tf(a), bits1, cfg.variant, backend=backend)
-    )
-    t_search = timed(sf, 2) - t_transform / 2
+        sf = jax.jit(
+            lambda a: _search.search(
+                tf(a), bits1, cfg.variant, backend=backend)
+        )
+        t_search = timed(sf, 2) - t_transform / 2
     disp = jax.block_until_ready(sf(s0))
 
     t_agree = 0.0
     if cfg.nxcorr_threshold is not None:
+        from .config import Precision
+
         minvar = (None if cfg.min_variance is None
                   else cfg.min_variance * s0.shape[0])
-        if cfg.subpixel_step is not None:
+        if (backend in ("pallas", "pallas_interpret")
+                and cfg.precision == Precision.SINGLE):
+            from .kernels.agree import agree_pallas
+
+            af = jax.jit(lambda a: agree_pallas(
+                disp, a, s1, cfg.nxcorr_threshold, cfg.subpixel_step,
+                minvar, interpret=(backend == "pallas_interpret")))
+        elif cfg.subpixel_step is not None:
             af = jax.jit(lambda a: _agree.agree_subpixel(
                 disp, a, s1, cfg.nxcorr_threshold, cfg.subpixel_step, minvar,
                 cfg.precision))
