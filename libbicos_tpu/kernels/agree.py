@@ -43,11 +43,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 ROW_BATCH = 8
-CHUNK = 512
+CHUNK = int(_os.environ.get("BICOS_AGREE_CHUNK", "512"))
 BLK = 128  # dynamic_gather span
 # Subpixel x-values evaluated per fori iteration (see the sweep loop).
-SWEEP_UNROLL = 3
+SWEEP_UNROLL = int(_os.environ.get("BICOS_SWEEP_UNROLL", "3"))
 
 INVALID_I32 = -32768
 
