@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Compute path for the Hamming scan.")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Capture a jax.profiler trace into DIR.")
+    p.add_argument("--dump-descriptors", default=None, metavar="NPZ",
+                   help="Also write both stacks' packed descriptor words "
+                        "to NPZ (debug artifact; keys words0/words1).")
     return p
 
 
@@ -218,6 +221,18 @@ def main(argv=None) -> int:
         q = _io.read_q_matrix(args.qmatrix)
         points = _io.reproject_image_to_3d(disp, q)
         _io.save_pointcloud(points, disp, outfile, args.allow_negative_z)
+
+    if args.dump_descriptors:
+        # Debug artifact (the stateless pipeline has nothing to
+        # checkpoint; descriptor dumps are the inspection surface).
+        from . import descriptor as _descriptor
+
+        np.savez_compressed(
+            args.dump_descriptors,
+            words0=np.asarray(_descriptor.descriptor_words(l_dev, cfg.mode)),
+            words1=np.asarray(_descriptor.descriptor_words(r_dev, cfg.mode)),
+        )
+        print(f"Saved packed descriptors to\t{args.dump_descriptors}")
 
     return 0
 

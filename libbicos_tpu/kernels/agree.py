@@ -149,14 +149,17 @@ def _agree_kernel(
     # (128, WP) fills + lane rotates per grid step.
     if mxu_gather:
         u16 = s1_ref.dtype == jnp.uint16
+        # Rows [3n, 128) of the series matrix are never written per-row and
+        # their dot outputs never read — zero them once per grid step.
+        bt_scratch[3 * n:128, :] = jnp.zeros(
+            (128 - 3 * n, wp), jnp.bfloat16)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, CHUNK), 0)
         for byte in range(2 if u16 else 1):
             for r in range(ROW_BATCH):
                 # Series matrix for this image row: rows [0,n) the raw
                 # series, [n,2n) shifted right (value at col-1), [2n,3n)
                 # shifted left (value at col+1). Wrapped edge lanes only
                 # reach border pixels, which take the integer fallback.
-                bt_scratch[3 * n:128, :] = jnp.zeros(
-                    (128 - 3 * n, wp), jnp.bfloat16)
                 for t in range(n):
                     row32 = s1_ref[t, r:r + 1, :].astype(jnp.int32)
                     if byte == 1:
@@ -176,8 +179,6 @@ def _agree_kernel(
                             .astype(jnp.bfloat16))
                 for oc in range(wp // CHUNK):
                     cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
-                    cidx = jax.lax.broadcasted_iota(
-                        jnp.int32, (wp, CHUNK), 0)
                     # One-hot built transposed, (WP, CHUNK): onehot_t[c, j]
                     # = (c == col1[j]) — avoids a (1, CHUNK) -> (CHUNK, 1)
                     # vector relayout. The dot contracts its sublane axis
@@ -185,6 +186,10 @@ def _agree_kernel(
                     # (WP, CHUNK) x (128, WP) -> (CHUNK, 128). Exact: each
                     # dot row has a single 1 against bf16-exact byte values;
                     # u16 recombines hi/lo contractions as 256*hi + lo.
+                    # (The series-major orientation producing (128, CHUNK)
+                    # directly measured 25% slower end-to-end: the sweep's
+                    # per-shot middle-axis slices relayout worse than one
+                    # chunk transpose.)
                     onehot_t = jnp.where(
                         cidx == col1c[r:r + 1, cs], jnp.float32(1.0),
                         jnp.float32(0.0)

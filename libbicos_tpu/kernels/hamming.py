@@ -232,22 +232,17 @@ def _encode_b_bf16_stack(s_rows, cxb, cyb, nbits: int, col0, u16: bool):
     return vals.astype(jnp.bfloat16)
 
 
-def _encode_a_bf16_stack(
-    s_tile, cxb, cyb, nbits: int, u16: bool, sign: int, extras: bool,
-):
-    """(n, TILE_I) raw samples -> (TILE_I, BPAD) bf16 query encoding.
-
-    ``sign=-1``: bit -> -8192, no bit -> +8192 (dot emits s*8192 + col when
-    ``extras`` puts the [256, 1] col-split coefficients at lanes
-    nbits/nbits+1); ``extras=False`` zeroes them (pure s*8192 dot for the
-    consistency reverse direction).
-    """
+def _encode_a_bf16_stack(s_tile, cxb, cyb, nbits: int, u16: bool,
+                         extras: bool):
+    """(n, TILE_I) raw samples -> (TILE_I, BPAD) bf16 query encoding:
+    bit -> -8192, no bit -> +8192 (dot emits s*8192 + col when ``extras``
+    puts the [256, 1] col-split coefficients at lanes nbits/nbits+1;
+    ``extras=False`` zeroes them — pure s*8192 dot for the consistency
+    reverse direction)."""
     tile_i = s_tile.shape[1]
     bpad = cxb.shape[0]
     xv, yv = _cmp_dots(s_tile.astype(jnp.int32), cxb, cyb, u16, a_side=True)
     pm = jnp.where(xv < yv, jnp.int32(-8192), jnp.int32(8192))
-    if sign > 0:
-        pm = -pm
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_i, bpad), 1)
     pm = jnp.where(lane >= nbits, 0, pm)
     if extras:
@@ -556,6 +551,18 @@ def _minima_kernel_i8(
     outl_ref[0, i, :] = outl
 
 
+def _encode_b_segments(b_scratch, w1pad: int, write_seg):
+    """Fill the K-major database scratch in UNPACK_SEG lane segments inside
+    a fori_loop (bounds the encoder's shift/compare temporaries);
+    ``write_seg(k)`` must write segment k."""
+
+    def encode_seg(k, carry):
+        write_seg(k)
+        return carry
+
+    jax.lax.fori_loop(0, w1pad // UNPACK_SEG, encode_seg, 0)
+
+
 def _minima_kernel_i8_stack(
     cx_ref,  # (BPAD, n) bf16 — compare coefficients (X side)
     cy_ref,  # (BPAD, n) bf16 — compare coefficients (Y side)
@@ -587,16 +594,13 @@ def _minima_kernel_i8_stack(
 
     @pl.when(i == 0)
     def _():
-        nseg = w1pad // UNPACK_SEG
-
-        def encode_seg(k, carry):
+        def write_seg(k):
             seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
             b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
                 _encode_b_i8_stack(seg, cxb, cyb, u16)
             )
-            return carry
 
-        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+        _encode_b_segments(b_scratch, w1pad, write_seg)
 
     a_i = _encode_a_i8_stack(s0_ref[0], cxb, cyb, nbits, u16)
 
@@ -644,22 +648,17 @@ def _minima_kernel_bf16_stack(
 
     @pl.when(i == 0)
     def _():
-        nseg = w1pad // UNPACK_SEG
-
-        def encode_seg(k, carry):
+        def write_seg(k):
             seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
             b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
                 _encode_b_bf16_stack(
                     seg, cxb, cyb, nbits, k * UNPACK_SEG, u16
                 )
             )
-            return carry
 
-        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+        _encode_b_segments(b_scratch, w1pad, write_seg)
 
-    a_f = _encode_a_bf16_stack(
-        s0_ref[0], cxb, cyb, nbits, u16, sign=-1, extras=True
-    )
+    a_f = _encode_a_bf16_stack(s0_ref[0], cxb, cyb, nbits, u16, extras=True)
 
     nj = w1pad // tile_j
 
@@ -711,28 +710,21 @@ def _consistency_kernel_bf16_stack(
 
     @pl.when(i == 0)
     def _():
-        nseg = w1pad // UNPACK_SEG
-
-        def encode_seg(k, carry):
+        def write_seg(k):
             seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
             b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
                 _encode_b_bf16_stack(
                     seg, cxb, cyb, nbits, k * UNPACK_SEG, u16
                 )
             )
-            return carry
 
-        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+        _encode_b_segments(b_scratch, w1pad, write_seg)
         rev_scratch[...] = jnp.full(
             (8, w1pad), jnp.float32(ACC_INIT * 2), jnp.float32
         )
 
-    a_f = _encode_a_bf16_stack(
-        s0_ref[0], cxb, cyb, nbits, u16, sign=-1, extras=True
-    )
-    a_s = _encode_a_bf16_stack(
-        s0_ref[0], cxb, cyb, nbits, u16, sign=-1, extras=False
-    )
+    a_f = _encode_a_bf16_stack(s0_ref[0], cxb, cyb, nbits, u16, extras=True)
+    a_s = _encode_a_bf16_stack(s0_ref[0], cxb, cyb, nbits, u16, extras=False)
 
     # pop0 = number of set query bits: a_s carries -8192 per set bit and
     # +8192 per clear bit over exactly nbits lanes.
@@ -828,16 +820,13 @@ def _consistency_kernel_i8_stack(
 
     @pl.when(i == 0)
     def _():
-        nseg = w1pad // UNPACK_SEG
-
-        def encode_seg(k, carry):
+        def write_seg(k):
             seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
             b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
                 _encode_b_i8_stack(seg, cxb, cyb, u16)
             )
-            return carry
 
-        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+        _encode_b_segments(b_scratch, w1pad, write_seg)
         rev_scratch[...] = jnp.full(
             (8, w1pad), jnp.int32(1) << 25, jnp.int32
         )
@@ -1443,6 +1432,10 @@ def _row_minima_stack(
     st0, st1 = _prep_stack_operands(stack0, stack1, tile_i, tile_j)
     w0pad, w1pad = st0.shape[2], st1.shape[2]
     ni = w0pad // tile_i
+    if tile_j == 0:
+        # Full-row chunk: one (TILE_I, BPAD) @ (BPAD, W1PAD) contraction
+        # per row tile (maximum N per MXU issue).
+        tile_j = w1pad
 
     kernel = functools.partial(
         kernel_fn,
@@ -1670,7 +1663,10 @@ def row_minima_stack(
     w1 = stack1.shape[2]
     if max(w0, w1) >= PACK_S:
         raise ValueError(f"image width >= {PACK_S} not supported by kernel")
-    tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
+    if tile_j == 0:
+        tile_i = min(tile_i, max(128, ((w0 + 127) // 128) * 128))
+    else:
+        tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
     return _row_minima_stack(
         stack0,
         stack1,

@@ -52,7 +52,8 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
     from .config import actual_bits
 
     nbits = actual_bits(n, cfg.mode)
-    if _search.fused_stack_search_ok(cfg.mode, n, backend):
+    if _search.fused_stack_search_ok(
+            cfg.mode, n, backend, stack0.shape[2]):
         # Fused transform+search kernel: descriptor bits are computed
         # ON-CHIP from compare-coefficient MXU contractions
         # (descriptor.compare_coeffs / kernels/hamming.py) — the separate

@@ -64,7 +64,8 @@ def stage_timings(stack0, stack1, cfg=None, *, backend: str = "auto") -> Dict:
         _ = np.asarray(leaf[(0,) * leaf.ndim])
         return (time.perf_counter() - t0) * 1e3
 
-    if _search.fused_stack_search_ok(cfg.mode, s0.shape[0], backend):
+    if _search.fused_stack_search_ok(
+            cfg.mode, s0.shape[0], backend, s0.shape[2]):
         # Production path: the transform rides inside the fused search
         # kernel, so there is no separate transform stage to time.
         t_transform = 0.0

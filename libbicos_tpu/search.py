@@ -195,6 +195,10 @@ def search_words(
     backend = resolve_backend(backend)
     h, w0, _ = words0.shape
     w1 = words1.shape[1]
+    if backend in ("pallas", "pallas_interpret") and max(w0, w1) >= 8192:
+        # The Pallas kernels pack col into 13 bits; the XLA path packs into
+        # PACK_K = 32768 and keeps working for ultra-wide rows.
+        backend = "xla"
 
     if isinstance(variant, NoDuplicates):
         _, first, last = _row_minima_w(words0, words1, nbits, True, backend)
@@ -224,10 +228,15 @@ def search_words(
     )
 
 
-def fused_stack_search_ok(mode, n: int, backend: str) -> bool:
-    """Eligibility of the fused transform+search kernel: pallas backend and
-    no constant descriptor bit (LIMITED n<4, see descriptor.compare_coeffs)."""
+def fused_stack_search_ok(
+    mode, n: int, backend: str, width: int
+) -> bool:
+    """Eligibility of the fused transform+search kernel: pallas backend, no
+    constant descriptor bit (LIMITED n<4, see descriptor.compare_coeffs),
+    and row width inside the kernel's 13-bit column packing."""
     if backend not in ("pallas", "pallas_interpret"):
+        return False
+    if width >= 8192:
         return False
     from .config import TransformMode
 
@@ -252,11 +261,13 @@ def search_stack(
     backend = resolve_backend(backend)
     n, h, w0 = stack0.shape
     w1 = stack1.shape[2]
-    if not fused_stack_search_ok(mode, n, backend):
+    if not fused_stack_search_ok(mode, n, backend, max(w0, w1)):
         nbits = actual_bits(n, mode)
+        # min_words=2: single-word (H, W, 1) uint32 outputs provoke a
+        # 128x-padded-layout HBM blow-up on TPU (see pipeline._match_impl).
         return search_words(
-            descriptor_words(stack0, mode),
-            descriptor_words(stack1, mode),
+            descriptor_words(stack0, mode, min_words=2),
+            descriptor_words(stack1, mode, min_words=2),
             nbits, variant, backend,
         )
     interpret = backend == "pallas_interpret"

@@ -134,3 +134,27 @@ def test_pybicos_invalid_disparity():
 
     assert np.isnan(pybicos.invalid_disparity(np.float32))
     assert pybicos.invalid_disparity(np.int16) == -32768
+
+
+def test_cli_dump_descriptors(tmp_path, rng):
+    """--dump-descriptors writes both stacks' packed words (debug artifact)."""
+    import numpy as np
+    from conftest import make_stack_pair
+    from libbicos_tpu import TransformMode, descriptor
+    from libbicos_tpu.cli import main
+    import cv2
+
+    s0, s1, _ = make_stack_pair(rng, 4, 6, 24)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(4):
+        cv2.imwrite(str(d / f"{i}_left.png"), np.asarray(s0[i]))
+        cv2.imwrite(str(d / f"{i}_right.png"), np.asarray(s1[i]))
+    npz = tmp_path / "desc.npz"
+    rc = main([str(d), "-t", "0.5", "--limited",
+               "-o", str(tmp_path / "disp.png"),
+               "--dump-descriptors", str(npz)])
+    assert rc == 0 and npz.exists()
+    data = np.load(npz)
+    want = np.asarray(descriptor.descriptor_words(s0, TransformMode.LIMITED))
+    np.testing.assert_array_equal(data["words0"], want)
