@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the BICOS Hamming-argmin row scan.
+"""Pallas TPU kernels for the BICOS Hamming-argmin row scan.
 
 This is the TPU-native re-design of the reference's hottest kernel, the
 shared-memory correspondence scan ``bicos_kernel_smem``
@@ -6,6 +6,19 @@ shared-memory correspondence scan ``bicos_kernel_smem``
 find the right-row column minimizing the Hamming distance between binary
 descriptors, plus the *last* column attaining that minimum (for the
 NoDuplicates tie test).
+
+Two kernel families share the sweep machinery:
+
+* ``*_stack`` (the production path): FUSED transform+search. Raw image
+  stacks go in; the descriptor bits are computed ON-CHIP by contracting the
+  samples against constant compare-coefficient matrices
+  (``descriptor.compare_coeffs`` — every reference descriptor bit is
+  ``dot(CX[k], series) < dot(CY[k], series)`` over integers), emitted
+  K-major, exactly the RHS layout the Hamming contraction wants. The
+  reference's separate transform stage (``cpu.cpp:49-95`` pipeline order)
+  disappears along with its descriptor HBM round-trip.
+* ``*_words``: pre-packed uint32 descriptor words in (the W-band ring and
+  transform-once-search-many callers); bits are unpacked on-chip.
 
 TPU mapping (nothing here resembles the CUDA code on purpose):
 
@@ -551,6 +564,74 @@ def _minima_kernel_i8(
     outl_ref[0, i, :] = outl
 
 
+def _consistency_lookup(
+    outf_ref, rev_scratch, rcf_ref, rcl_ref, *,
+    ni: int, tile_i: int, w1pad: int, no_dupes: bool,
+):
+    """In-kernel reverse-minima lookup for the Consistency variant.
+
+    For every left pixel, fetch the packed reverse minima at its forward
+    argmin column. The XLA alternative (``take_along_axis`` over the full
+    image) costs ~150 ms at 2200x3300 on TPU — element-wise gathers are the
+    architecture's weak spot — so the lookup runs here as an exact one-hot
+    contraction per row tile: packed reverse values (< 2^22) are byte-split
+    into three <=255 rows (bf16-exact), and a (W1PAD, TILE_I) one-hot of
+    the forward argmin columns selects exactly one product per output in
+    f32 accumulation.
+
+    Runs inside the ``i == ni-1`` grid step, after ``rev_scratch`` holds the
+    whole row's reverse minima and ``outf_ref`` the whole row's forward
+    minima. Padded query pixels gather 0 (their argmin column exceeds
+    W1PAD's one-hot range or points at unselected columns) and are sliced
+    off by the wrapper.
+    """
+    f32 = outf_ref.dtype == jnp.float32
+    nsrc = 2 if no_dupes else 1
+
+    # Byte-split value matrix (nsrc*3, W1PAD): rows 3k..3k+2 carry source
+    # k's bytes b0/b1/b2 (values < 2^22 => 3 bytes).
+    rows = []
+    for k in range(nsrc):
+        v = rev_scratch[k:k + 1, :]
+        v32 = v.astype(jnp.int32) if f32 else v
+        for b in range(3):
+            rows.append(
+                ((v32 >> (8 * b)) & jnp.int32(0xFF))
+                .astype(jnp.float32).astype(jnp.bfloat16)
+            )
+    vmat = jnp.concatenate(rows, axis=0)  # (nsrc*3, W1PAD)
+
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (w1pad, tile_i), 0)
+    for ti in range(ni):
+        mfv = outf_ref[0, ti, :].reshape(1, tile_i)
+        if f32:
+            s = jnp.floor(mfv * jnp.float32(1.0 / PACK_S))
+            idx = (mfv - s * jnp.float32(PACK_S)).astype(jnp.int32)
+        else:
+            idx = mfv & jnp.int32(PACK_S - 1)
+        onehot = jnp.where(
+            cidx == idx, jnp.float32(1.0), jnp.float32(0.0)
+        ).astype(jnp.bfloat16)  # (W1PAD, TILE_I)
+        g = jax.lax.dot_general(
+            vmat, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (nsrc*3, TILE_I)
+
+        def recombine(k):
+            val = (g[3 * k:3 * k + 1, :]
+                   + g[3 * k + 1:3 * k + 2, :] * jnp.float32(256.0)
+                   + g[3 * k + 2:3 * k + 3, :] * jnp.float32(65536.0))
+            return val if f32 else val.astype(jnp.int32)
+
+        rcf_ref[0, ti, :] = recombine(0)[0]
+        if no_dupes:
+            rcl_ref[0, ti, :] = recombine(1)[0]
+        else:
+            rcl_ref[0, ti, :] = jnp.zeros(
+                (tile_i,), rcl_ref.dtype
+            )
+
+
 def _encode_b_segments(b_scratch, w1pad: int, write_seg):
     """Fill the K-major database scratch in UNPACK_SEG lane segments inside
     a fori_loop (bounds the encoder's shift/compare temporaries);
@@ -684,8 +765,8 @@ def _consistency_kernel_bf16_stack(
     s1_ref,  # (1, n, W1PAD)
     outf_ref,  # (1, NI, TILE_I) f32 — packed forward first-minima
     outl_ref,  # (1, NI, TILE_I) f32 — packed forward last-minima
-    outrf_ref,  # (1, 1, W1PAD) f32 — packed reverse first-minima
-    outrl_ref,  # (1, 1, W1PAD) f32 — packed reverse last-minima
+    rcf_ref,  # (1, NI, TILE_I) f32 — reverse first-minima AT the fwd argmin
+    rcl_ref,  # (1, NI, TILE_I) f32 — reverse last-minima AT the fwd argmin
     b_scratch,  # (BPAD, W1PAD) bf16
     rev_scratch,  # (8, W1PAD) f32
     *,
@@ -781,9 +862,10 @@ def _consistency_kernel_bf16_stack(
 
     @pl.when(i == ni - 1)
     def _():
-        outrf_ref[0, 0, :] = rev_scratch[0, :]
-        outrl_ref[0, 0, :] = (rev_scratch[1, :] if no_dupes
-                              else jnp.zeros((w1pad,), jnp.float32))
+        _consistency_lookup(
+            outf_ref, rev_scratch, rcf_ref, rcl_ref,
+            ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
+        )
 
 
 def _consistency_kernel_i8_stack(
@@ -793,8 +875,8 @@ def _consistency_kernel_i8_stack(
     s1_ref,  # (1, n, W1PAD)
     outf_ref,  # (1, NI, TILE_I) i32 — packed forward first-minima
     outl_ref,  # (1, NI, TILE_I) i32 — packed forward last-minima
-    outrf_ref,  # (1, 1, W1PAD) i32 — packed reverse first-minima
-    outrl_ref,  # (1, 1, W1PAD) i32 — packed reverse last-minima
+    rcf_ref,  # (1, NI, TILE_I) i32 — reverse first-minima AT the fwd argmin
+    rcl_ref,  # (1, NI, TILE_I) i32 — reverse last-minima AT the fwd argmin
     b_scratch,  # (BPAD, W1PAD) int8
     rev_scratch,  # (8, W1PAD) i32
     *,
@@ -876,9 +958,10 @@ def _consistency_kernel_i8_stack(
 
     @pl.when(i == ni - 1)
     def _():
-        outrf_ref[0, 0, :] = rev_scratch[0, :]
-        outrl_ref[0, 0, :] = (rev_scratch[1, :] if no_dupes
-                              else jnp.zeros((w1pad,), jnp.int32))
+        _consistency_lookup(
+            outf_ref, rev_scratch, rcf_ref, rcl_ref,
+            ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
+        )
 
 
 def _consistency_kernel(
@@ -886,8 +969,8 @@ def _consistency_kernel(
     w1_ref,  # (1, W1PAD, nw) uint32 — full right row, revisited across i
     outf_ref,  # (1, NI, TILE_I) f32 — packed forward first-minima
     outl_ref,  # (1, NI, TILE_I) f32 — packed forward last-minima
-    outrf_ref,  # (1, 1, W1PAD) f32 — packed reverse first-minima
-    outrl_ref,  # (1, 1, W1PAD) f32 — packed reverse last-minima
+    rcf_ref,  # (1, NI, TILE_I) f32 — reverse first-minima AT the fwd argmin
+    rcl_ref,  # (1, NI, TILE_I) f32 — reverse last-minima AT the fwd argmin
     b_scratch,  # (W1PAD, BPAD) bf16 — encoded right row
     rev_scratch,  # (8, W1PAD) f32 — reverse minima accumulator (row 0..7)
     *,
@@ -995,9 +1078,10 @@ def _consistency_kernel(
 
     @pl.when(i == ni - 1)
     def _():
-        outrf_ref[0, 0, :] = rev_scratch[0, :]
-        outrl_ref[0, 0, :] = (rev_scratch[1, :] if no_dupes
-                              else jnp.zeros((w1pad,), jnp.float32))
+        _consistency_lookup(
+            outf_ref, rev_scratch, rcf_ref, rcl_ref,
+            ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
+        )
 
 
 def _consistency_kernel_i8(
@@ -1005,8 +1089,8 @@ def _consistency_kernel_i8(
     w1_ref,  # (1, W1PAD, nw) uint32
     outf_ref,  # (1, NI, TILE_I) i32 — packed forward first-minima
     outl_ref,  # (1, NI, TILE_I) i32 — packed forward last-minima
-    outrf_ref,  # (1, 1, W1PAD) i32 — packed reverse first-minima
-    outrl_ref,  # (1, 1, W1PAD) i32 — packed reverse last-minima
+    rcf_ref,  # (1, NI, TILE_I) i32 — reverse first-minima AT the fwd argmin
+    rcl_ref,  # (1, NI, TILE_I) i32 — reverse last-minima AT the fwd argmin
     b_scratch,  # (W1PAD, BPAD) int8 — encoded right row
     rev_scratch,  # (8, W1PAD) i32 — reverse minima accumulator
     *,
@@ -1092,9 +1176,10 @@ def _consistency_kernel_i8(
 
     @pl.when(i == ni - 1)
     def _():
-        outrf_ref[0, 0, :] = rev_scratch[0, :]
-        outrl_ref[0, 0, :] = (rev_scratch[1, :] if no_dupes
-                              else jnp.zeros((w1pad,), jnp.int32))
+        _consistency_lookup(
+            outf_ref, rev_scratch, rcf_ref, rcl_ref,
+            ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
+        )
 
 
 def _encode_a_bits(words_tile, nbits: int, bpad: int):
@@ -1299,21 +1384,14 @@ def _row_minima_consistency_words(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=(
+        out_specs=tuple(
             pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w1pad), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w1pad), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
-            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
-            jax.ShapeDtypeStruct((h, 1, w1pad), out_dtype),
-            jax.ShapeDtypeStruct((h, 1, w1pad), out_dtype),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype)
+            for _ in range(4)
         ),
         scratch_shapes=[
             pltpu.VMEM((w1pad, bpad), b_dtype),
@@ -1332,39 +1410,37 @@ def _row_minima_consistency_words(
     )(words0p, words1p)
 
     mf = mf.reshape(h, w0pad)[:, :w0]
-    mrf = mrf.reshape(h, w1pad)[:, :w1]
+    mrf = mrf.reshape(h, w0pad)[:, :w0]
     if engine == "i8":
         mask = jnp.int32(PACK_S - 1)
         first0 = mf & mask
         cost0 = (mf >> 13) + pop0
-        first1 = mrf & mask
-        cost1 = mrf >> 13
+        rc0 = mrf & mask
         if no_dupes:
             ml = ml.reshape(h, w0pad)[:, :w0]
             last0 = (PACK_S - 1) - (ml & mask)
-            mrl = mrl.reshape(h, w1pad)[:, :w1]
-            last1 = (PACK_S - 1) - (mrl & mask)
+            mrl = mrl.reshape(h, w0pad)[:, :w0]
+            rc0_last = (PACK_S - 1) - (mrl & mask)
         else:
             last0 = None
-            last1 = None
-        return (cost0, first0, last0), (cost1, first1, last1)
+            rc0_last = None
+        return (cost0, first0, last0), (None, rc0, rc0_last)
     sf = jnp.floor(mf / PACK_S)
     first0 = (mf - sf * PACK_S).astype(jnp.int32)
     cost0 = sf.astype(jnp.int32) + pop0
     sr = jnp.floor(mrf / PACK_S)
-    first1 = (mrf - sr * PACK_S).astype(jnp.int32)
-    cost1 = sr.astype(jnp.int32)
+    rc0 = (mrf - sr * PACK_S).astype(jnp.int32)
     if no_dupes:
         ml = ml.reshape(h, w0pad)[:, :w0]
         sl = jnp.floor(ml / PACK_S)
         last0 = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
-        mrl = mrl.reshape(h, w1pad)[:, :w1]
+        mrl = mrl.reshape(h, w0pad)[:, :w0]
         srl = jnp.floor(mrl / PACK_S)
-        last1 = (PACK_S - 1) - (mrl - srl * PACK_S).astype(jnp.int32)
+        rc0_last = (PACK_S - 1) - (mrl - srl * PACK_S).astype(jnp.int32)
     else:
         last0 = None
-        last1 = None
-    return (cost0, first0, last0), (cost1, first1, last1)
+        rc0_last = None
+    return (cost0, first0, last0), (None, rc0, rc0_last)
 
 
 def _prep_stack_operands(stack0, stack1, tile_i: int, tile_j: int):
@@ -1576,21 +1652,14 @@ def _row_minima_consistency_stack(
             pl.BlockSpec((1, n, w1pad), lambda r, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
+        out_specs=tuple(
             pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w1pad), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w1pad), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
-            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
-            jax.ShapeDtypeStruct((h, 1, w1pad), out_dtype),
-            jax.ShapeDtypeStruct((h, 1, w1pad), out_dtype),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype)
+            for _ in range(4)
         ),
         scratch_shapes=[
             pltpu.VMEM((bpad, w1pad), b_dtype),
@@ -1609,20 +1678,20 @@ def _row_minima_consistency_stack(
     )(cxj, cyj, st0, st1)
 
     mf = mf.reshape(h, w0pad)[:, :w0]
-    mrf = mrf.reshape(h, w1pad)[:, :w1]
+    mrf = mrf.reshape(h, w0pad)[:, :w0]
     if engine == "i8":
         mask = jnp.int32(PACK_S - 1)
         first0 = mf & mask
-        first1 = mrf & mask
+        rc0 = mrf & mask
         if no_dupes:
             ml = ml.reshape(h, w0pad)[:, :w0]
             last0 = (PACK_S - 1) - (ml & mask)
-            mrl = mrl.reshape(h, w1pad)[:, :w1]
-            last1 = (PACK_S - 1) - (mrl & mask)
+            mrl = mrl.reshape(h, w0pad)[:, :w0]
+            rc0_last = (PACK_S - 1) - (mrl & mask)
         else:
             last0 = None
-            last1 = None
-        return (None, first0, last0), (None, first1, last1)
+            rc0_last = None
+        return (None, first0, last0), (None, rc0, rc0_last)
 
     def dec_first(m):
         s = jnp.floor(m / PACK_S)
@@ -1633,14 +1702,14 @@ def _row_minima_consistency_stack(
         return (PACK_S - 1) - (m - s * PACK_S).astype(jnp.int32)
 
     first0 = dec_first(mf)
-    first1 = dec_first(mrf)
+    rc0 = dec_first(mrf)
     if no_dupes:
         last0 = dec_last(ml.reshape(h, w0pad)[:, :w0])
-        last1 = dec_last(mrl.reshape(h, w1pad)[:, :w1])
+        rc0_last = dec_last(mrl.reshape(h, w0pad)[:, :w0])
     else:
         last0 = None
-        last1 = None
-    return (None, first0, last0), (None, first1, last1)
+        rc0_last = None
+    return (None, first0, last0), (None, rc0, rc0_last)
 
 
 def row_minima_stack(
@@ -1767,11 +1836,16 @@ def row_minima_consistency_pallas(
     engine: str | None = None,
 ):
     """Fused forward+reverse minima for the Consistency variant: one sweep of
-    the cost matrix yields, per row, both the left->right and right->left
-    (cost, first[, last]) minima — ~1.8x cheaper than two plain passes.
+    the cost matrix yields, per row, the left->right (cost, first[, last])
+    minima AND the right->left minima already looked up at each left
+    pixel's forward argmin column (the ``take_along_axis`` the decode would
+    otherwise need costs ~150 ms at full resolution on TPU; the kernel's
+    one-hot lookup is ~10x cheaper) — ~1.8x over two plain passes.
 
-    Returns ((cost0, first0, last0), (cost1, first1, last1)); the ``last``
-    entries are None unless ``no_dupes``.
+    Returns ``((cost0, first0, last0), (None, rc0, rc0_last))`` where
+    ``rc0[h, c0]`` is the reverse first-argmin at column ``first0[h, c0]``
+    and ``rc0_last`` its last-argmin twin; ``last`` entries are None unless
+    ``no_dupes``.
     """
     from ..descriptor import pack_bits
 

@@ -172,19 +172,34 @@ def _finish_consistency(
     first0, last0, first1, last1, h: int, w0: int, w1: int,
     variant: Consistency,
 ):
-    col0 = jnp.arange(w0, dtype=jnp.int32)[None, :]
-    valid = jnp.ones((h, w0), dtype=bool)
-    rvalid = jnp.ones((h, w1), dtype=bool)
-    if variant.no_dupes:
-        valid = first0 == last0
-        rvalid = first1 == last1
+    """Decode from per-right-column reverse minima (XLA path; the gathers
+    are fine on CPU/GPU backends)."""
     bc1 = first0
     rc0 = jnp.take_along_axis(first1, bc1, axis=1)
-    rok = jnp.take_along_axis(rvalid, bc1, axis=1)
+    if variant.no_dupes:
+        rvalid = first1 == last1
+        rok = jnp.take_along_axis(rvalid, bc1, axis=1)
+    else:
+        rok = jnp.ones((h, w0), dtype=bool)
+    return _finish_consistency_gathered(
+        first0, last0, rc0, rok, h, w0, variant
+    )
+
+
+def _finish_consistency_gathered(
+    first0, last0, rc0, rok, h: int, w0: int, variant: Consistency,
+):
+    """Decode from reverse minima already looked up at the forward argmin
+    (the Pallas kernels do the lookup on-chip — element-wise gathers over
+    the full image cost ~150 ms on TPU)."""
+    col0 = jnp.arange(w0, dtype=jnp.int32)[None, :]
+    valid = jnp.ones((h, w0), dtype=bool)
+    if variant.no_dupes:
+        valid = first0 == last0
     valid = (
         valid & rok & (jnp.abs(col0 - rc0) <= jnp.int32(variant.max_lr_diff))
     )
-    disp = (col0 + rc0) // 2 - bc1
+    disp = (col0 + rc0) // 2 - first0
     return jnp.where(valid, disp, jnp.int32(INVALID_I16)).astype(jnp.int16)
 
 
@@ -207,20 +222,25 @@ def search_words(
     nodupes = variant.no_dupes
     if backend in ("pallas", "pallas_interpret"):
         # Fused kernel: forward + reverse minima from ONE sweep of the
-        # cost matrix (kernels/hamming.py) — ~1.8x over two passes.
+        # cost matrix, reverse values pre-gathered at the forward argmin
+        # (kernels/hamming.py) — ~1.8x over two passes, no XLA gathers.
         from .kernels.hamming import row_minima_consistency_words
 
-        (_, first0, last0), (_, first1, last1) = (
+        (_, first0, last0), (_, rc0, rc0_last) = (
             row_minima_consistency_words(
                 words0, words1, nbits=nbits, no_dupes=nodupes,
                 interpret=(backend == "pallas_interpret"),
             )
         )
-    else:
-        _, first0, last0 = _row_minima_w(
-            words0, words1, nbits, nodupes, backend)
-        _, first1, last1 = _row_minima_w(
-            words1, words0, nbits, nodupes, backend)
+        rok = (rc0 == rc0_last if nodupes
+               else jnp.ones((h, w0), dtype=bool))
+        return _finish_consistency_gathered(
+            first0, last0, rc0, rok, h, w0, variant
+        )
+    _, first0, last0 = _row_minima_w(
+        words0, words1, nbits, nodupes, backend)
+    _, first1, last1 = _row_minima_w(
+        words1, words0, nbits, nodupes, backend)
     if not nodupes:
         last0 = last1 = None
     return _finish_consistency(
@@ -281,10 +301,12 @@ def search_stack(
     assert isinstance(variant, Consistency)
     from .kernels.hamming import row_minima_consistency_stack
 
-    (_, first0, last0), (_, first1, last1) = row_minima_consistency_stack(
+    (_, first0, last0), (_, rc0, rc0_last) = row_minima_consistency_stack(
         stack0, stack1, mode=mode, no_dupes=variant.no_dupes,
         interpret=interpret,
     )
-    return _finish_consistency(
-        first0, last0, first1, last1, h, w0, w1, variant
+    rok = (rc0 == rc0_last if variant.no_dupes
+           else jnp.ones((h, w0), dtype=bool))
+    return _finish_consistency_gathered(
+        first0, last0, rc0, rok, h, w0, variant
     )

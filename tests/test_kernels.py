@@ -69,25 +69,31 @@ def test_row_minima_pallas_nonuniform_widths(rng):
 @pytest.mark.parametrize("no_dupes", [True, False])
 @pytest.mark.parametrize("engine", ["i8", "bf16"])
 def test_consistency_fused_matches_two_pass(rng, no_dupes, engine):
-    """The fused forward+reverse kernel must equal two plain passes."""
+    """The fused forward+reverse kernel must equal two plain passes; the
+    reverse side comes back pre-gathered at the forward argmin column."""
+    import jax.numpy as jnp
+
     from libbicos_tpu.kernels.hamming import row_minima_consistency_pallas
 
     bits0 = rng.random((3, 300, 126)) < 0.5
     bits1 = rng.random((3, 300, 126)) < 0.5
     bits1[:, 200] = bits1[:, 10]  # ties in the right row
     bits0[:, 150] = bits0[:, 20]  # ties in the left row
-    (c0, f0, l0), (c1, f1, l1) = row_minima_consistency_pallas(
+    (c0, f0, l0), (_, rc0, rc0_last) = row_minima_consistency_pallas(
         bits0, bits1, no_dupes, interpret=True, engine=engine
     )
     wc0, wf0, wl0 = search.row_minima_xla(bits0, bits1, no_dupes)
     wc1, wf1, wl1 = search.row_minima_xla(bits1, bits0, no_dupes)
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(wc0))
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(wf0))
-    np.testing.assert_array_equal(np.asarray(c1), np.asarray(wc1))
-    np.testing.assert_array_equal(np.asarray(f1), np.asarray(wf1))
+    want_rc0 = np.asarray(
+        jnp.take_along_axis(wf1, jnp.asarray(np.asarray(f0)), axis=1))
+    np.testing.assert_array_equal(np.asarray(rc0), want_rc0)
     if no_dupes:
         np.testing.assert_array_equal(np.asarray(l0), np.asarray(wl0))
-        np.testing.assert_array_equal(np.asarray(l1), np.asarray(wl1))
+        want_rcl = np.asarray(
+            jnp.take_along_axis(wl1, jnp.asarray(np.asarray(f0)), axis=1))
+        np.testing.assert_array_equal(np.asarray(rc0_last), want_rcl)
 
 
 def test_consistency_fused_through_search(rng):
