@@ -48,14 +48,13 @@ TPU mapping (nothing here resembles the CUDA code on purpose):
   column chunk, which is peeled out of the chunk loop and masked there — the
   steady-state loop has zero masking overhead.
 
-* **Two MXU engines.** The default ``i8`` engine contracts int8-encoded bits
-  (query +-1, database 0/1) with int32 accumulation — 2x the MXU rate of
-  bf16 on v5e — and packs ``(s << 13) + col`` in exact int32 on the VPU; no
-  index columns ride the contraction, so FULL-mode 256-bit descriptors
-  contract over 256 lanes instead of 384, and the fused Consistency kernel
-  needs ONE contraction per chunk instead of two. The ``bf16`` engine (the
-  f32-packing design above) remains selectable via
-  ``BICOS_MXU_ENGINE=bf16`` for hardware whose int8 path underperforms.
+* **Two MXU engines.** The default ``bf16`` engine is the f32-packing
+  design above (col rides the contraction; the whole first-argmin epilogue
+  is one f32 min). The ``i8`` engine (``BICOS_MXU_ENGINE=i8``) contracts
+  int8-encoded bits with int32 accumulation and packs ``(s << 13) + col``
+  on the VPU; despite the nominal 2x int8 MXU rate it measured ~1.5x
+  SLOWER at 33x2200x3300 on v5e (105 vs 160 ms fused) — kept selectable
+  for hardware where the int8 path actually delivers.
 
 Grid: ``(H, W0/TILE_I)``; each step runs one or two
 ``(TILE_I, 128k) @ (128k, TILE_J)`` bf16 contractions per right-column chunk.
