@@ -160,7 +160,10 @@ def save_image(image: np.ndarray, outfile, colormap: str = "turbo") -> None:
     else:
         lo, hi = 0.0, 1.0
     scale = 255.0 / (hi - lo) if hi > lo else 0.0
-    norm = np.clip((vals - lo) * scale, 0, 255).astype(np.uint8)
+    # NaNs (float INVALID) would trip the uint8 cast; zero them first —
+    # they are masked to black below anyway.
+    shifted = np.where(mask, 0.0, (vals - lo) * scale)
+    norm = np.clip(shifted, 0, 255).astype(np.uint8)
     norm[mask] = 0
     if _HAS_CV2:
         cmap = {"turbo": cv2.COLORMAP_TURBO, "jet": cv2.COLORMAP_JET,

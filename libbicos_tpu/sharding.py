@@ -31,7 +31,22 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.8
+    _CHECK_KW = "check_vma"
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _CHECK_KW = "check_rep"
+
+
+def shard_map(fn, **kw):
+    """jax.shard_map across the 0.8 API rename (check_rep -> check_vma).
+
+    Replication checking is off on every call here: the W-band ring and the
+    gathered-agree paths intentionally produce per-shard values that the
+    checker would flag as unreplicated."""
+    kw[_CHECK_KW] = kw.pop("check_rep")
+    return _shard_map(fn, **kw)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import descriptor as _descriptor
@@ -60,6 +75,31 @@ def _pad_rows(x, rows_axis: int, mult: int):
     return jnp.pad(x, widths), pad
 
 
+def _validate_match_args(stack0, stack1, cfg: Config, corrmap: bool):
+    """Same guards match() applies (pipeline.py) — the sharded surfaces
+    must fail identically, not crash downstream."""
+    from .config import validate_stack
+    from .pipeline import _validate_inputs
+
+    _validate_inputs(stack0, stack1)
+    validate_stack(stack0.shape[0], cfg.mode)
+    if corrmap and cfg.nxcorr_threshold is None:
+        raise ValueError("corrmap requires cfg.nxcorr_threshold")
+
+
+def _precision_scope(cfg: Config):
+    """Precision.DOUBLE needs x64 enabled around tracing, exactly as
+    pipeline.match does — without it the f64 NXCORR silently degrades to
+    f32 on the sharded paths."""
+    from .config import Precision
+
+    if cfg.precision == Precision.DOUBLE:
+        return jax.enable_x64(True)
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
 def match_sharded(
     stack0,
     stack1,
@@ -82,6 +122,7 @@ def match_sharded(
 
     stack0 = jnp.asarray(stack0)
     stack1 = jnp.asarray(stack1)
+    _validate_match_args(stack0, stack1, cfg, corrmap)
     stack0, pad = _pad_rows(stack0, 1, ndev)
     stack1, _ = _pad_rows(stack1, 1, ndev)
     h = stack0.shape[1]
@@ -103,7 +144,8 @@ def match_sharded(
     sharding = NamedSharding(mesh, P(None, axis_name, None))
     s0 = jax.device_put(stack0, sharding)
     s1 = jax.device_put(stack1, sharding)
-    disp, corr = run(s0, s1)
+    with _precision_scope(cfg):
+        disp, corr = run(s0, s1)
     if pad:
         disp = disp[: h - pad]
         corr = corr[: h - pad] if corrmap else corr
@@ -141,7 +183,12 @@ def match_sharded_w(
 
     stack0 = jnp.asarray(stack0)
     stack1 = jnp.asarray(stack1)
+    _validate_match_args(stack0, stack1, cfg, corrmap)
     n, h, w = stack0.shape
+    if w > PACK_K:
+        # The ring reduction packs cost * PACK_K + col; wider rows would
+        # alias columns into the cost field and corrupt minima silently.
+        raise ValueError(f"image width > {PACK_K} not supported")
     s0p, padw = _pad_rows(stack0, 2, ndev)
     s1p, _ = _pad_rows(stack1, 2, ndev)
     wp = s0p.shape[2]
@@ -158,8 +205,7 @@ def match_sharded_w(
         bits1 = _descriptor.descriptor_bits(s1_local, cfg.mode)
         # padded left columns produce garbage rows; masked out at the end.
         _, first0, last0 = _ring_minima(
-            bits0, bits1, nodupes or isinstance(variant, NoDuplicates),
-            axis_name, ndev, band, w)
+            bits0, bits1, nodupes, axis_name, ndev, band, w)
         if isinstance(variant, NoDuplicates):
             valid = first0 == last0
             disp = col0 - first0
@@ -201,13 +247,14 @@ def match_sharded_w(
     sharding = NamedSharding(mesh, P(None, None, axis_name))
     s0d = jax.device_put(s0p, sharding)
     s1d = jax.device_put(s1p, sharding)
-    out, corr = jax.jit(shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(None, None, axis_name), P(None, None, axis_name)),
-        out_specs=(P(None, axis_name), P(None, axis_name)),
-        check_rep=False,
-    ))(s0d, s1d)
+    with _precision_scope(cfg):
+        out, corr = jax.jit(shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(None, None, axis_name), P(None, None, axis_name)),
+            out_specs=(P(None, axis_name), P(None, axis_name)),
+            check_rep=False,
+        ))(s0d, s1d)
     out = out[:, :w]
     corr = corr[:, :w]
     if corrmap:

@@ -105,3 +105,34 @@ def test_match_sharded_w_equals_single(rng, mesh, cfg):
         assert (np.isnan(got) == np.isnan(want)).all()
         m = ~np.isnan(want)
         np.testing.assert_array_equal(got[m], want[m])
+
+
+def test_sharded_surfaces_validate_like_match(rng, mesh):
+    """The sharded entry points must reject bad inputs with the same errors
+    match() raises (reference guards cpu.cpp:110-114), not crash inside
+    shard_map."""
+    from libbicos_tpu.sharding import match_sharded_w
+    from conftest import make_stack_pair
+
+    s0, s1, _ = make_stack_pair(rng, 5, 8, 24)
+    one = s0[:1]  # n=1: too few images
+    bad = s0.astype(np.float32)
+    for fn in (match_sharded, match_sharded_w):
+        with pytest.raises(ValueError, match="at least two"):
+            fn(one, s1[:1], Config(nxcorr_threshold=None), mesh=mesh)
+        with pytest.raises(ValueError, match="depths"):
+            fn(bad, bad, Config(nxcorr_threshold=None), mesh=mesh)
+        with pytest.raises(ValueError, match="corrmap"):
+            fn(s0, s1, Config(nxcorr_threshold=None), mesh=mesh,
+               corrmap=True)
+
+
+def test_sharded_w_rejects_ultrawide(mesh):
+    """match_sharded_w packs cost * PACK_K + col; wider images would alias
+    into the cost field, so the guard must fire before any compute."""
+    from libbicos_tpu.sharding import match_sharded_w
+    from libbicos_tpu.search import PACK_K
+
+    s = np.zeros((2, 1, PACK_K + 8), np.uint8)
+    with pytest.raises(ValueError, match="width"):
+        match_sharded_w(s, s, Config(nxcorr_threshold=None), mesh=mesh)
