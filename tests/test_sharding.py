@@ -136,3 +136,19 @@ def test_sharded_w_rejects_ultrawide(mesh):
     s = np.zeros((2, 1, PACK_K + 8), np.uint8)
     with pytest.raises(ValueError, match="width"):
         match_sharded_w(s, s, Config(nxcorr_threshold=None), mesh=mesh)
+
+
+def test_match_sharded_double_precision(rng, mesh):
+    """Precision.DOUBLE on the sharded surface must match the single-chip
+    DOUBLE result — the x64 scope has to wrap the shard_map tracing too,
+    or NXCORR silently degrades to f32."""
+    from libbicos_tpu import Precision
+    from conftest import make_stack_pair
+
+    s0, s1, _ = make_stack_pair(rng, 5, 8, 24)
+    cfg = Config(nxcorr_threshold=0.5, precision=Precision.DOUBLE)
+    wd, wc = bicos.match(s0, s1, cfg, corrmap=True, backend="xla")
+    gd, gc = match_sharded(s0, s1, cfg, mesh=mesh, corrmap=True,
+                           backend="xla")
+    np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(wc))
