@@ -50,6 +50,13 @@ CHUNK = int(_os.environ.get("BICOS_AGREE_CHUNK", "512"))
 BLK = 128  # dynamic_gather span
 # Subpixel x-values evaluated per fori iteration (see the sweep loop).
 SWEEP_UNROLL = int(_os.environ.get("BICOS_SWEEP_UNROLL", "3"))
+# MXU engine for the one-hot gather dots. Their contraction is K=WP (the
+# padded image width, e.g. 3328) — deep enough for the int8 MXU path's 2x
+# rate to materialize (unlike the search kernel's K=128 contractions, where
+# int8 pairs nothing along K and measured ~bf16 rate). "i8" stores the
+# series matrix as centered bytes (v - 128, exact to undo post-dot because
+# each one-hot row has exactly one 1); "bf16" is the original engine.
+AGREE_ENGINE = _os.environ.get("BICOS_AGREE_ENGINE", "bf16")
 
 INVALID_I32 = -32768
 
@@ -149,11 +156,20 @@ def _agree_kernel(
     # (128, WP) fills + lane rotates per grid step.
     if mxu_gather:
         u16 = s1_ref.dtype == jnp.uint16
+        i8e = bt_scratch.dtype == jnp.int8
         # Rows [3n, 128) of the series matrix are never written per-row and
         # their dot outputs never read — zero them once per grid step.
         bt_scratch[3 * n:128, :] = jnp.zeros(
-            (128 - 3 * n, wp), jnp.bfloat16)
+            (128 - 3 * n, wp), bt_scratch.dtype)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, CHUNK), 0)
+
+        def cv(v32):
+            # i8 engine: centered bytes (exact to undo post-dot); bf16
+            # engine: bytes are bf16-exact (< 256).
+            if i8e:
+                return (v32 - 128).astype(jnp.int8)
+            return v32.astype(jnp.float32).astype(jnp.bfloat16)
+
         for byte in range(2 if u16 else 1):
             for r in range(ROW_BATCH):
                 # Series matrix for this image row: rows [0,n) the raw
@@ -166,17 +182,15 @@ def _agree_kernel(
                         row32 = row32 >> 8
                     elif u16:
                         row32 = row32 & jnp.int32(0xFF)
-                    rowf = row32.astype(jnp.float32)
-                    bt_scratch[t:t + 1, :] = rowf.astype(jnp.bfloat16)
+                    bt_scratch[t:t + 1, :] = cv(row32)
                     if xs:
-                        # 32-bit lane rotates (bf16 rotate doesn't
+                        # 32-bit lane rotates (narrow rotates don't
                         # lower); roll needs non-negative shifts:
                         # wp-1 == -1.
-                        bt_scratch[n + t:n + t + 1, :] = pltpu.roll(
-                            rowf, 1, axis=1).astype(jnp.bfloat16)
-                        bt_scratch[2 * n + t:2 * n + t + 1, :] = (
-                            pltpu.roll(rowf, wp - 1, axis=1)
-                            .astype(jnp.bfloat16))
+                        bt_scratch[n + t:n + t + 1, :] = cv(pltpu.roll(
+                            row32, 1, axis=1))
+                        bt_scratch[2 * n + t:2 * n + t + 1, :] = cv(
+                            pltpu.roll(row32, wp - 1, axis=1))
                 for oc in range(wp // CHUNK):
                     cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
                     # One-hot built transposed, (WP, CHUNK): onehot_t[c, j]
@@ -184,21 +198,30 @@ def _agree_kernel(
                     # vector relayout. The dot contracts its sublane axis
                     # against the series matrix's lane axis:
                     # (WP, CHUNK) x (128, WP) -> (CHUNK, 128). Exact: each
-                    # dot row has a single 1 against bf16-exact byte values;
+                    # dot row has a single 1 against byte values (centered
+                    # into int8 range for the i8 engine, +128 undone below);
                     # u16 recombines hi/lo contractions as 256*hi + lo.
                     # (The series-major orientation producing (128, CHUNK)
                     # directly measured 25% slower end-to-end: the sweep's
                     # per-shot middle-axis slices relayout worse than one
                     # chunk transpose.)
-                    onehot_t = jnp.where(
-                        cidx == col1c[r:r + 1, cs], jnp.float32(1.0),
-                        jnp.float32(0.0)
-                    ).astype(jnp.bfloat16)
-                    g = jax.lax.dot_general(
-                        onehot_t, bt_scratch[...],
-                        dimension_numbers=(((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                    onehot = cidx == col1c[r:r + 1, cs]
+                    if i8e:
+                        g32 = jax.lax.dot_general(
+                            onehot.astype(jnp.int8), bt_scratch[...],
+                            dimension_numbers=(((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+                        g = (g32 + 128).astype(jnp.float32)
+                    else:
+                        onehot_t = jnp.where(
+                            onehot, jnp.float32(1.0), jnp.float32(0.0)
+                        ).astype(jnp.bfloat16)
+                        g = jax.lax.dot_general(
+                            onehot_t, bt_scratch[...],
+                            dimension_numbers=(((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
                     if u16 and byte == 1:
                         gout_scratch[r, cs, :] = (
                             gout_scratch[r, cs, :] + g * jnp.float32(256.0)
@@ -370,7 +393,10 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((128, wp), jnp.bfloat16),
+            pltpu.VMEM(
+                (128, wp),
+                jnp.int8 if AGREE_ENGINE == "i8" else jnp.bfloat16,
+            ),
             pltpu.VMEM((ROW_BATCH, wp, 128), jnp.float32),
         ],
         interpret=interpret,

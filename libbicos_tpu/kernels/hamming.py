@@ -85,10 +85,17 @@ UNPACK_SEG = 512
 
 # MXU engine: "bf16" folds the column index into the contraction so the
 # entire first-argmin epilogue is ONE f32 min per cost entry; "i8" contracts
-# int8 bits at 2x the bf16 MXU rate (v5e: 394 TOPS int8 vs 197 TFLOPS bf16)
-# but must pack (s << 13) + col on the VPU afterwards. Measured at
-# 33x2200x3300 on one v5e core the kernel is VPU-epilogue-bound, so bf16's
-# 3-op epilogue beats i8's 5-op one: 106 ms vs 160 ms fused — bf16 default.
+# int8 bits (nominally 2x the bf16 MXU rate) but must pack (s << 13) + col
+# on the VPU afterwards: 106 ms vs 160 ms fused at 33x2200x3300 on one v5e
+# core — bf16 default. Calibration (2026-08-17, one "TPU v5 lite" core):
+# XLA's own 8192^3 matmul chain reaches 116 TF bf16 / 170 TOPS i8 — the
+# practical device envelope, well under the 197/394 nameplate. A bare
+# pallas kernel issuing only this kernel's (512,128)@(128,512) chunk dots
+# runs 78.9 ms = 91.7 TF = 79% of that envelope, flat across tile shapes /
+# rhs layouts / full-row N, and bare i8 at the same shapes is 115 TOPS (no
+# 2x: int8 pairs two MACs along K, and K=128 leaves nothing to pair). The
+# production kernel's dot time sits on that bare-dot floor, so the engine
+# is within ~25% of device speed-of-light for this contraction shape.
 import os as _os
 
 DEFAULT_ENGINE = _os.environ.get("BICOS_MXU_ENGINE", "bf16")
