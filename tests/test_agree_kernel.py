@@ -135,3 +135,26 @@ def test_agree_kernel_shuffle_fallback_large_n(rng):
                        np.nan_to_num(out).astype(np.int16))
     np.testing.assert_array_equal(got_i16, want_d)
     _assert_corr_close(corr, want_c)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_agree_kernel_i8_engine(rng, monkeypatch, dtype):
+    """The int8 gather engine (BICOS_AGREE_ENGINE=i8) must be bit-exact:
+    centered bytes (v - 128) are undone post-dot because every one-hot row
+    has exactly one 1 (kernels/agree.py). Verified bit-identical on TPU
+    hardware 2026-08-17; this locks the interpret path in CI."""
+    from libbicos_tpu.kernels import agree as kagree
+
+    monkeypatch.setattr(kagree, "AGREE_ENGINE", "i8")
+    # Distinct shape from the other tests: _agree_call's jit cache keys on
+    # shapes, not on the module global the scratch dtype is read from.
+    s0, s1, disp = _disp_for(rng, 6, 5, 44, dtype)
+    out, corr = agree_pallas(disp, s0, s1, 0.5, 0.25, 15.0, interpret=True)
+    want_d, want_c = oracle.agree_subpixel(
+        disp.copy(), s0, s1, 0.5, 0.25, 15.0, dtype
+    )
+    got_d = np.asarray(out)
+    assert (np.isnan(got_d) == np.isnan(want_d)).all()
+    m = ~np.isnan(want_d)
+    np.testing.assert_array_equal(got_d[m], want_d[m])
+    _assert_corr_close(corr, want_c)
