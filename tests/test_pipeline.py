@@ -166,3 +166,57 @@ def test_match_rejects_oversized_stack(rng):
     s17 = rng.integers(0, 255, (17, 3, 8), dtype=np.uint8)
     with _pytest.raises(ValueError, match="too large"):
         bicos.match(s17, s17, bicos.Config(mode=TransformMode.FULL))
+
+
+def test_fuzz_random_configs():
+    """Randomized config x shape x dtype draws vs the oracle (seeded).
+
+    Broadens the fixed CONFIGS matrix: every field combination the
+    reference accepts (common.hpp:73-82) should agree with the per-pixel
+    oracle transcription, not just the hand-picked rows above.
+    """
+    fuzz = np.random.default_rng(0x600DF00D)
+    for trial in range(10):
+        mode = (bicos.TransformMode.FULL if fuzz.integers(2)
+                else bicos.TransformMode.LIMITED)
+        n = int(fuzz.integers(3, 8 if mode == bicos.TransformMode.FULL
+                              else 10))
+        h = int(fuzz.integers(3, 7))
+        w = int(fuzz.integers(10, 19))
+        dtype = np.uint16 if fuzz.integers(4) == 0 else np.uint8
+        threshold = (None if fuzz.integers(3) == 0
+                     else float(fuzz.uniform(0.2, 0.9)))
+        step = (float(fuzz.choice([0.5, 0.25, 0.2]))
+                if threshold is not None and fuzz.integers(2) else None)
+        minvar = (float(fuzz.uniform(0.0, 3.0))
+                  if threshold is not None and fuzz.integers(2) else None)
+        if fuzz.integers(2):
+            variant = bicos.Consistency(
+                max_lr_diff=int(fuzz.integers(1, 4)),
+                no_dupes=bool(fuzz.integers(2)),
+            )
+        else:
+            variant = bicos.NoDuplicates()
+        cfg = bicos.Config(
+            nxcorr_threshold=threshold, subpixel_step=step,
+            min_variance=minvar, mode=mode, variant=variant,
+        )
+        s0, s1, _ = make_stack_pair(fuzz, n, h, w, dtype)
+        ctx = f"trial={trial} cfg={cfg} n={n} {h}x{w} {dtype.__name__}"
+        want_d, want_c = oracle.match(s0, s1, cfg)
+        if threshold is None:
+            got_d = bicos.match(s0, s1, cfg, backend="xla")
+            np.testing.assert_array_equal(np.asarray(got_d), want_d, ctx)
+            continue
+        got_d, got_c = bicos.match(s0, s1, cfg, corrmap=True, backend="xla")
+        got_d, got_c = np.asarray(got_d), np.asarray(got_c)
+        np.testing.assert_allclose(
+            got_c, want_c, rtol=3e-5, atol=3e-5, equal_nan=True,
+            err_msg=ctx)
+        if step is None:
+            np.testing.assert_array_equal(got_d, want_d, ctx)
+        else:
+            assert (np.isnan(got_d) == np.isnan(want_d)).mean() > 0.97, ctx
+            both = ~(np.isnan(got_d) | np.isnan(want_d))
+            np.testing.assert_allclose(
+                got_d[both], want_d[both], atol=step + 1e-6, err_msg=ctx)
