@@ -99,6 +99,16 @@ UNPACK_SEG = 512
 import os as _os
 
 DEFAULT_ENGINE = _os.environ.get("BICOS_MXU_ENGINE", "bf16")
+# Rows per grid step for the fused stack kernels: batching rows amortizes
+# per-grid-step overhead (window swaps/semaphores) without changing dot
+# shapes. Measured fused transform+search, 33x2200x3300 bf16 on one v5e
+# core: rows 1/2/4/8/16 -> 105.6/94.5/93.8/89.4/103.5 ms — 8 is the
+# optimum (-15%); 16 regresses (VMEM pressure breaks the pipeline).
+# VMEM cost: rows x BPAD x W1PAD scratch. The consistency kernel has its
+# own knob — two dots + the rev-scratch epilogue shift its optimum down
+# (same shape/protocol: rows 1/2/4/8 -> 149.3/145.0/143.4/154.1 ms).
+SEARCH_ROWS = int(_os.environ.get("BICOS_SEARCH_ROWS", "8"))
+CONS_ROWS = int(_os.environ.get("BICOS_CONS_ROWS", "4"))
 # Accumulator strategy: "1" keeps (TILE_I, 128) running minima and reduces
 # each dot chunk lane-group by lane-group (4x less accumulator VMEM traffic
 # than full (TILE_I, TILE_J) accumulators); "0" keeps full-tile accumulators.
@@ -573,6 +583,7 @@ def _minima_kernel_i8(
 def _consistency_lookup(
     outf_ref, rev_scratch, rcf_ref, rcl_ref, *,
     ni: int, tile_i: int, w1pad: int, no_dupes: bool,
+    row: int = 0, src_base: int = 0,
 ):
     """In-kernel reverse-minima lookup for the Consistency variant.
 
@@ -589,7 +600,8 @@ def _consistency_lookup(
     whole row's reverse minima and ``outf_ref`` the whole row's forward
     minima. Padded query pixels gather 0 (their argmin column exceeds
     W1PAD's one-hot range or points at unselected columns) and are sliced
-    off by the wrapper.
+    off by the wrapper. Multi-row kernels pass ``row`` (leading block
+    index) and ``src_base`` (this row's base in the shared rev scratch).
     """
     f32 = outf_ref.dtype == jnp.float32
     nsrc = 2 if no_dupes else 1
@@ -598,7 +610,7 @@ def _consistency_lookup(
     # k's bytes b0/b1/b2 (values < 2^22 => 3 bytes).
     rows = []
     for k in range(nsrc):
-        v = rev_scratch[k:k + 1, :]
+        v = rev_scratch[src_base + k:src_base + k + 1, :]
         v32 = v.astype(jnp.int32) if f32 else v
         for b in range(3):
             rows.append(
@@ -609,7 +621,7 @@ def _consistency_lookup(
 
     cidx = jax.lax.broadcasted_iota(jnp.int32, (w1pad, tile_i), 0)
     for ti in range(ni):
-        mfv = outf_ref[0, ti, :].reshape(1, tile_i)
+        mfv = outf_ref[row, ti, :].reshape(1, tile_i)
         if f32:
             s = jnp.floor(mfv * jnp.float32(1.0 / PACK_S))
             idx = (mfv - s * jnp.float32(PACK_S)).astype(jnp.int32)
@@ -629,11 +641,11 @@ def _consistency_lookup(
                    + g[3 * k + 2:3 * k + 3, :] * jnp.float32(65536.0))
             return val if f32 else val.astype(jnp.int32)
 
-        rcf_ref[0, ti, :] = recombine(0)[0]
+        rcf_ref[row, ti, :] = recombine(0)[0]
         if no_dupes:
-            rcl_ref[0, ti, :] = recombine(1)[0]
+            rcl_ref[row, ti, :] = recombine(1)[0]
         else:
-            rcl_ref[0, ti, :] = jnp.zeros(
+            rcl_ref[row, ti, :] = jnp.zeros(
                 (tile_i,), rcl_ref.dtype
             )
 
@@ -653,11 +665,11 @@ def _encode_b_segments(b_scratch, w1pad: int, write_seg):
 def _minima_kernel_i8_stack(
     cx_ref,  # (BPAD, n) bf16 — compare coefficients (X side)
     cy_ref,  # (BPAD, n) bf16 — compare coefficients (Y side)
-    s0_ref,  # (1, n, TILE_I) raw left samples for this tile
-    s1_ref,  # (1, n, W1PAD) raw right row, revisited across i
-    outf_ref,  # (1, NI, TILE_I) i32 — packed first-minima
-    outl_ref,  # (1, NI, TILE_I) i32 — packed last-minima
-    b_scratch,  # (BPAD, W1PAD) int8 — on-chip descriptor bits, K-major
+    s0_ref,  # (RB, n, TILE_I) raw left samples for this tile
+    s1_ref,  # (RB, n, W1PAD) raw right rows, revisited across i
+    outf_ref,  # (RB, NI, TILE_I) i32 — packed first-minima
+    outl_ref,  # (RB, NI, TILE_I) i32 — packed last-minima
+    b_scratch,  # (RB, BPAD, W1PAD) int8 — on-chip descriptor bits, K-major
     *,
     nbits: int,
     w1: int,
@@ -672,9 +684,11 @@ def _minima_kernel_i8_stack(
     (:func:`_encode_b_i8_stack`), eliminating the separate descriptor
     transform pass entirely (reference pipeline order ``cpu.cpp:49-95``
     runs transform then search as distinct stages; here the transform is
-    a prologue of the search kernel's MXU schedule).
+    a prologue of the search kernel's MXU schedule). RB rows per grid step
+    (``SEARCH_ROWS``) amortize per-step overhead.
     """
     i = pl.program_id(1)
+    rb = s0_ref.shape[0]
     tile_i = s0_ref.shape[2]
     cxb = cx_ref[...]
     cyb = cy_ref[...]
@@ -682,40 +696,42 @@ def _minima_kernel_i8_stack(
     @pl.when(i == 0)
     def _():
         def write_seg(k):
-            seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
-            b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
-                _encode_b_i8_stack(seg, cxb, cyb, u16)
-            )
+            for r in range(rb):
+                seg = s1_ref[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
+                b_scratch[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
+                    _encode_b_i8_stack(seg, cxb, cyb, u16)
+                )
 
         _encode_b_segments(b_scratch, w1pad, write_seg)
 
-    a_i = _encode_a_i8_stack(s0_ref[0], cxb, cyb, nbits, u16)
-
     nj = w1pad // tile_j
 
-    def dot_chunk(j):
-        b_tile = b_scratch[:, pl.ds(j * tile_j, tile_j)]
-        return jax.lax.dot_general(
-            a_i, b_tile,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (TILE_I, TILE_J) = s
+    for r in range(rb):
+        a_i = _encode_a_i8_stack(s0_ref[r], cxb, cyb, nbits, u16)
 
-    outf, outl = _sweep_minima_i8(
-        dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce
-    )
-    outf_ref[0, i, :] = outf
-    outl_ref[0, i, :] = outl
+        def dot_chunk(j, r=r, a_i=a_i):
+            b_tile = b_scratch[r, :, pl.ds(j * tile_j, tile_j)]
+            return jax.lax.dot_general(
+                a_i, b_tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (TILE_I, TILE_J) = s
+
+        outf, outl = _sweep_minima_i8(
+            dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+        )
+        outf_ref[r, i, :] = outf
+        outl_ref[r, i, :] = outl
 
 
 def _minima_kernel_bf16_stack(
     cx_ref,  # (BPAD, n) bf16 — compare coefficients (X side)
     cy_ref,  # (BPAD, n) bf16 — compare coefficients (Y side)
-    s0_ref,  # (1, n, TILE_I) raw left samples for this tile
-    s1_ref,  # (1, n, W1PAD) raw right row, revisited across i
-    outf_ref,  # (1, NI, TILE_I) f32 — packed first-minima
-    outl_ref,  # (1, NI, TILE_I) f32 — packed last-minima
-    b_scratch,  # (BPAD, W1PAD) bf16 — on-chip bits + col rows, K-major
+    s0_ref,  # (RB, n, TILE_I) raw left samples for this tile
+    s1_ref,  # (RB, n, W1PAD) raw right rows, revisited across i
+    outf_ref,  # (RB, NI, TILE_I) f32 — packed first-minima
+    outl_ref,  # (RB, NI, TILE_I) f32 — packed last-minima
+    b_scratch,  # (RB, BPAD, W1PAD) bf16 — on-chip bits + col rows, K-major
     *,
     nbits: int,
     w1: int,
@@ -727,8 +743,10 @@ def _minima_kernel_bf16_stack(
 ):
     """bf16-engine fused transform+search (see :func:`_minima_kernel_i8_stack`
     for the on-chip transform and :func:`_minima_kernel` for the
-    index-in-contraction packing)."""
+    index-in-contraction packing). RB rows per grid step (``SEARCH_ROWS``)
+    amortize per-step overhead; dot shapes are unchanged."""
     i = pl.program_id(1)
+    rb = s0_ref.shape[0]
     tile_i = s0_ref.shape[2]
     cxb = cx_ref[...]
     cyb = cy_ref[...]
@@ -736,45 +754,49 @@ def _minima_kernel_bf16_stack(
     @pl.when(i == 0)
     def _():
         def write_seg(k):
-            seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
-            b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
-                _encode_b_bf16_stack(
-                    seg, cxb, cyb, nbits, k * UNPACK_SEG, u16
+            for r in range(rb):
+                seg = s1_ref[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
+                b_scratch[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
+                    _encode_b_bf16_stack(
+                        seg, cxb, cyb, nbits, k * UNPACK_SEG, u16
+                    )
                 )
-            )
 
         _encode_b_segments(b_scratch, w1pad, write_seg)
 
-    a_f = _encode_a_bf16_stack(s0_ref[0], cxb, cyb, nbits, u16, extras=True)
-
     nj = w1pad // tile_j
 
-    def dotf_chunk(j):
-        b_tile = b_scratch[:, pl.ds(j * tile_j, tile_j)]
-        return jax.lax.dot_general(
-            a_f, b_tile,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (TILE_I, TILE_J) = s*8192 + col
+    for r in range(rb):
+        a_f = _encode_a_bf16_stack(
+            s0_ref[r], cxb, cyb, nbits, u16, extras=True
+        )
 
-    outf, outl = _sweep_minima_bf16(
-        dotf_chunk, tile_i, tile_j, nj, w1, need_last, reduce
-    )
-    outf_ref[0, i, :] = outf
-    outl_ref[0, i, :] = outl
+        def dotf_chunk(j, r=r, a_f=a_f):
+            b_tile = b_scratch[r, :, pl.ds(j * tile_j, tile_j)]
+            return jax.lax.dot_general(
+                a_f, b_tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TILE_I, TILE_J) = s*8192 + col
+
+        outf, outl = _sweep_minima_bf16(
+            dotf_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+        )
+        outf_ref[r, i, :] = outf
+        outl_ref[r, i, :] = outl
 
 
 def _consistency_kernel_bf16_stack(
     cx_ref,  # (BPAD, n) bf16
     cy_ref,  # (BPAD, n) bf16
-    s0_ref,  # (1, n, TILE_I)
-    s1_ref,  # (1, n, W1PAD)
-    outf_ref,  # (1, NI, TILE_I) f32 — packed forward first-minima
-    outl_ref,  # (1, NI, TILE_I) f32 — packed forward last-minima
-    rcf_ref,  # (1, NI, TILE_I) f32 — reverse first-minima AT the fwd argmin
-    rcl_ref,  # (1, NI, TILE_I) f32 — reverse last-minima AT the fwd argmin
-    b_scratch,  # (BPAD, W1PAD) bf16
-    rev_scratch,  # (8, W1PAD) f32
+    s0_ref,  # (RB, n, TILE_I)
+    s1_ref,  # (RB, n, W1PAD)
+    outf_ref,  # (RB, NI, TILE_I) f32 — packed forward first-minima
+    outl_ref,  # (RB, NI, TILE_I) f32 — packed forward last-minima
+    rcf_ref,  # (RB, NI, TILE_I) f32 — reverse first-minima AT the fwd argmin
+    rcl_ref,  # (RB, NI, TILE_I) f32 — reverse last-minima AT the fwd argmin
+    b_scratch,  # (RB, BPAD, W1PAD) bf16
+    rev_scratch,  # (max(8, 2*RB), W1PAD) f32 — rows 2r/2r+1 per image row
     *,
     nbits: int,
     w0: int,
@@ -789,102 +811,121 @@ def _consistency_kernel_bf16_stack(
     (combines :func:`_consistency_kernel` with the on-chip transform).
     ``pop0`` for the reverse packing comes from a lane-sum of the query
     bits; the second (bits-only) contraction supplies the pure ``s*8192``
-    the reverse direction needs."""
+    the reverse direction needs. RB rows per grid step (``SEARCH_ROWS``);
+    each row owns 2 lanes of the shared rev scratch."""
     i = pl.program_id(1)
     ni = pl.num_programs(1)
+    rb = s0_ref.shape[0]
     cxb = cx_ref[...]
     cyb = cy_ref[...]
 
     @pl.when(i == 0)
     def _():
         def write_seg(k):
-            seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
-            b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
-                _encode_b_bf16_stack(
-                    seg, cxb, cyb, nbits, k * UNPACK_SEG, u16
+            for r in range(rb):
+                seg = s1_ref[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
+                b_scratch[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
+                    _encode_b_bf16_stack(
+                        seg, cxb, cyb, nbits, k * UNPACK_SEG, u16
+                    )
                 )
-            )
 
         _encode_b_segments(b_scratch, w1pad, write_seg)
         rev_scratch[...] = jnp.full(
-            (8, w1pad), jnp.float32(ACC_INIT * 2), jnp.float32
+            rev_scratch.shape, jnp.float32(ACC_INIT * 2), jnp.float32
         )
 
-    a_f = _encode_a_bf16_stack(s0_ref[0], cxb, cyb, nbits, u16, extras=True)
-    a_s = _encode_a_bf16_stack(s0_ref[0], cxb, cyb, nbits, u16, extras=False)
-
-    # pop0 = number of set query bits: a_s carries -8192 per set bit and
-    # +8192 per clear bit over exactly nbits lanes.
-    sum_pm = jnp.sum(a_s.astype(jnp.float32), axis=1, keepdims=True)
-    pop0 = (jnp.float32(nbits)
-            - sum_pm * jnp.float32(1.0 / PACK_S)) * jnp.float32(0.5)
     row0 = i * tile_i + jax.lax.broadcasted_iota(
         jnp.int32, (tile_i, 1), 0
     )
     rowpen = jnp.where(row0 >= w0, jnp.float32(PAD_PENALTY), 0.0)
-    radd_f = pop0 * jnp.float32(PACK_S) + row0.astype(jnp.float32) + rowpen
-    radd_l = (pop0 * jnp.float32(PACK_S)
-              + (jnp.float32(PACK_S - 1) - row0.astype(jnp.float32))
-              + rowpen)
-
     nj = w1pad // tile_j
 
-    def chunk(j, accf, accl):
-        b_tile = b_scratch[:, pl.ds(j * tile_j, tile_j)]
-        dn = (((1,), (0,)), ((), ()))
-        dotf = jax.lax.dot_general(
-            a_f, b_tile, dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
+    for r in range(rb):
+        a_f = _encode_a_bf16_stack(
+            s0_ref[r], cxb, cyb, nbits, u16, extras=True
         )
-        dots = jax.lax.dot_general(
-            a_s, b_tile, dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
+        a_s = _encode_a_bf16_stack(
+            s0_ref[r], cxb, cyb, nbits, u16, extras=False
         )
-        colv = j * tile_j + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile_j), 1
-        )
-        pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
-        accf = jnp.minimum(accf, dotf + pen)
-        if no_dupes:
-            cvec = (jnp.float32(PACK_S - 1)
-                    - 2.0 * colv.astype(jnp.float32)) + pen
-            accl = jnp.minimum(accl, dotf + cvec)
-        rev_f = jnp.min(dots + radd_f, axis=0, keepdims=True)  # (1, TJ)
-        js = pl.ds(j * tile_j, tile_j)
-        rev_scratch[0:1, js] = jnp.minimum(rev_scratch[0:1, js], rev_f)
-        if no_dupes:
-            rev_l = jnp.min(dots + radd_l, axis=0, keepdims=True)
-            rev_scratch[1:2, js] = jnp.minimum(rev_scratch[1:2, js], rev_l)
-        return accf, accl
 
-    init = jnp.full((tile_i, tile_j), jnp.float32(ACC_INIT), jnp.float32)
-    accf, accl = init, init
-    for j in range(nj):
-        accf, accl = chunk(j, accf, accl)
+        # pop0 = number of set query bits: a_s carries -8192 per set bit
+        # and +8192 per clear bit over exactly nbits lanes.
+        sum_pm = jnp.sum(a_s.astype(jnp.float32), axis=1, keepdims=True)
+        pop0 = (jnp.float32(nbits)
+                - sum_pm * jnp.float32(1.0 / PACK_S)) * jnp.float32(0.5)
+        radd_f = (pop0 * jnp.float32(PACK_S)
+                  + row0.astype(jnp.float32) + rowpen)
+        radd_l = (pop0 * jnp.float32(PACK_S)
+                  + (jnp.float32(PACK_S - 1) - row0.astype(jnp.float32))
+                  + rowpen)
 
-    outf_ref[0, i, :] = jnp.min(accf, axis=1)
-    outl_ref[0, i, :] = (jnp.min(accl, axis=1) if no_dupes
-                         else jnp.zeros((tile_i,), jnp.float32))
+        def chunk(j, accf, accl, r=r, a_f=a_f, a_s=a_s,
+                  radd_f=radd_f, radd_l=radd_l):
+            b_tile = b_scratch[r, :, pl.ds(j * tile_j, tile_j)]
+            dn = (((1,), (0,)), ((), ()))
+            dotf = jax.lax.dot_general(
+                a_f, b_tile, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            dots = jax.lax.dot_general(
+                a_s, b_tile, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            colv = j * tile_j + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile_j), 1
+            )
+            pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
+            accf = jnp.minimum(accf, dotf + pen)
+            if no_dupes:
+                cvec = (jnp.float32(PACK_S - 1)
+                        - 2.0 * colv.astype(jnp.float32)) + pen
+                accl = jnp.minimum(accl, dotf + cvec)
+            rev_f = jnp.min(dots + radd_f, axis=0, keepdims=True)  # (1,TJ)
+            js = pl.ds(j * tile_j, tile_j)
+            sb = 2 * r
+            rev_scratch[sb:sb + 1, js] = jnp.minimum(
+                rev_scratch[sb:sb + 1, js], rev_f
+            )
+            if no_dupes:
+                rev_l = jnp.min(dots + radd_l, axis=0, keepdims=True)
+                rev_scratch[sb + 1:sb + 2, js] = jnp.minimum(
+                    rev_scratch[sb + 1:sb + 2, js], rev_l
+                )
+            return accf, accl
+
+        init = jnp.full(
+            (tile_i, tile_j), jnp.float32(ACC_INIT), jnp.float32
+        )
+        accf, accl = init, init
+        for j in range(nj):
+            accf, accl = chunk(j, accf, accl)
+
+        outf_ref[r, i, :] = jnp.min(accf, axis=1)
+        outl_ref[r, i, :] = (jnp.min(accl, axis=1) if no_dupes
+                             else jnp.zeros((tile_i,), jnp.float32))
 
     @pl.when(i == ni - 1)
     def _():
-        _consistency_lookup(
-            outf_ref, rev_scratch, rcf_ref, rcl_ref,
-            ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
-        )
+        for r in range(rb):
+            _consistency_lookup(
+                outf_ref, rev_scratch, rcf_ref, rcl_ref,
+                ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
+                row=r, src_base=2 * r,
+            )
 
 
 def _consistency_kernel_i8_stack(
     cx_ref,  # (BPAD, n) bf16
     cy_ref,  # (BPAD, n) bf16
-    s0_ref,  # (1, n, TILE_I)
-    s1_ref,  # (1, n, W1PAD)
-    outf_ref,  # (1, NI, TILE_I) i32 — packed forward first-minima
-    outl_ref,  # (1, NI, TILE_I) i32 — packed forward last-minima
-    rcf_ref,  # (1, NI, TILE_I) i32 — reverse first-minima AT the fwd argmin
-    rcl_ref,  # (1, NI, TILE_I) i32 — reverse last-minima AT the fwd argmin
-    b_scratch,  # (BPAD, W1PAD) int8
-    rev_scratch,  # (8, W1PAD) i32
+    s0_ref,  # (RB, n, TILE_I)
+    s1_ref,  # (RB, n, W1PAD)
+    outf_ref,  # (RB, NI, TILE_I) i32 — packed forward first-minima
+    outl_ref,  # (RB, NI, TILE_I) i32 — packed forward last-minima
+    rcf_ref,  # (RB, NI, TILE_I) i32 — reverse first-minima AT the fwd argmin
+    rcl_ref,  # (RB, NI, TILE_I) i32 — reverse last-minima AT the fwd argmin
+    b_scratch,  # (RB, BPAD, W1PAD) int8
+    rev_scratch,  # (max(8, 2*RB), W1PAD) i32 — rows 2r/2r+1 per image row
     *,
     nbits: int,
     w0: int,
@@ -903,71 +944,81 @@ def _consistency_kernel_i8_stack(
     masked lanes 0."""
     i = pl.program_id(1)
     ni = pl.num_programs(1)
+    rb = s0_ref.shape[0]
     cxb = cx_ref[...]
     cyb = cy_ref[...]
 
     @pl.when(i == 0)
     def _():
         def write_seg(k):
-            seg = s1_ref[0, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
-            b_scratch[:, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
-                _encode_b_i8_stack(seg, cxb, cyb, u16)
-            )
+            for r in range(rb):
+                seg = s1_ref[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
+                b_scratch[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
+                    _encode_b_i8_stack(seg, cxb, cyb, u16)
+                )
 
         _encode_b_segments(b_scratch, w1pad, write_seg)
         rev_scratch[...] = jnp.full(
-            (8, w1pad), jnp.int32(1) << 25, jnp.int32
+            rev_scratch.shape, jnp.int32(1) << 25, jnp.int32
         )
-
-    a_i = _encode_a_i8_stack(s0_ref[0], cxb, cyb, nbits, u16)
-    pop0 = (jnp.int32(nbits)
-            - jnp.sum(a_i.astype(jnp.int32), axis=1, keepdims=True)) >> 1
 
     row0 = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0)
     rowpen = jnp.where(row0 >= w0, jnp.int32(1) << 23, 0)
-    radd_f = (pop0 << 13) + row0 + rowpen
-    radd_l = (pop0 << 13) + (jnp.int32(PACK_S - 1) - row0) + rowpen
-
     nj = w1pad // tile_j
 
-    def chunk(j, accf, accl):
-        b_tile = b_scratch[:, pl.ds(j * tile_j, tile_j)]
-        s13 = jax.lax.dot_general(
-            a_i, b_tile, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ) << 13
-        colv = j * tile_j + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile_j), 1
-        )
-        pen = jnp.where(colv >= w1, jnp.int32(1) << 23, 0)
-        accf = jnp.minimum(accf, s13 + colv + pen)
-        if no_dupes:
-            accl = jnp.minimum(
-                accl, s13 + (jnp.int32(PACK_S - 1) - colv) + pen
+    for r in range(rb):
+        a_i = _encode_a_i8_stack(s0_ref[r], cxb, cyb, nbits, u16)
+        pop0 = (jnp.int32(nbits)
+                - jnp.sum(a_i.astype(jnp.int32), axis=1, keepdims=True)) >> 1
+        radd_f = (pop0 << 13) + row0 + rowpen
+        radd_l = (pop0 << 13) + (jnp.int32(PACK_S - 1) - row0) + rowpen
+
+        def chunk(j, accf, accl, r=r, a_i=a_i,
+                  radd_f=radd_f, radd_l=radd_l):
+            b_tile = b_scratch[r, :, pl.ds(j * tile_j, tile_j)]
+            s13 = jax.lax.dot_general(
+                a_i, b_tile, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) << 13
+            colv = j * tile_j + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile_j), 1
             )
-        rev_f = jnp.min(s13 + radd_f, axis=0, keepdims=True)  # (1, TJ)
-        js = pl.ds(j * tile_j, tile_j)
-        rev_scratch[0:1, js] = jnp.minimum(rev_scratch[0:1, js], rev_f)
-        if no_dupes:
-            rev_l = jnp.min(s13 + radd_l, axis=0, keepdims=True)
-            rev_scratch[1:2, js] = jnp.minimum(rev_scratch[1:2, js], rev_l)
-        return accf, accl
+            pen = jnp.where(colv >= w1, jnp.int32(1) << 23, 0)
+            accf = jnp.minimum(accf, s13 + colv + pen)
+            if no_dupes:
+                accl = jnp.minimum(
+                    accl, s13 + (jnp.int32(PACK_S - 1) - colv) + pen
+                )
+            rev_f = jnp.min(s13 + radd_f, axis=0, keepdims=True)  # (1, TJ)
+            js = pl.ds(j * tile_j, tile_j)
+            sb = 2 * r
+            rev_scratch[sb:sb + 1, js] = jnp.minimum(
+                rev_scratch[sb:sb + 1, js], rev_f
+            )
+            if no_dupes:
+                rev_l = jnp.min(s13 + radd_l, axis=0, keepdims=True)
+                rev_scratch[sb + 1:sb + 2, js] = jnp.minimum(
+                    rev_scratch[sb + 1:sb + 2, js], rev_l
+                )
+            return accf, accl
 
-    init = jnp.full((tile_i, tile_j), jnp.int32(1) << 24, jnp.int32)
-    accf, accl = init, init
-    for j in range(nj):
-        accf, accl = chunk(j, accf, accl)
+        init = jnp.full((tile_i, tile_j), jnp.int32(1) << 24, jnp.int32)
+        accf, accl = init, init
+        for j in range(nj):
+            accf, accl = chunk(j, accf, accl)
 
-    outf_ref[0, i, :] = jnp.min(accf, axis=1)
-    outl_ref[0, i, :] = (jnp.min(accl, axis=1) if no_dupes
-                         else jnp.zeros((tile_i,), jnp.int32))
+        outf_ref[r, i, :] = jnp.min(accf, axis=1)
+        outl_ref[r, i, :] = (jnp.min(accl, axis=1) if no_dupes
+                             else jnp.zeros((tile_i,), jnp.int32))
 
     @pl.when(i == ni - 1)
     def _():
-        _consistency_lookup(
-            outf_ref, rev_scratch, rcf_ref, rcl_ref,
-            ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
-        )
+        for r in range(rb):
+            _consistency_lookup(
+                outf_ref, rev_scratch, rcf_ref, rcl_ref,
+                ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
+                row=r, src_base=2 * r,
+            )
 
 
 def _consistency_kernel(
@@ -1478,7 +1529,7 @@ def _padded_coeffs(n: int, mode, bpad: int):
     jax.jit,
     static_argnames=(
         "mode", "need_last", "tile_i", "tile_j", "interpret", "engine",
-        "reduce",
+        "reduce", "rows",
     ),
 )
 def _row_minima_stack(
@@ -1492,6 +1543,7 @@ def _row_minima_stack(
     interpret: bool,
     engine: str,
     reduce: bool,
+    rows: int = 1,
 ):
     from ..config import actual_bits
 
@@ -1512,6 +1564,10 @@ def _row_minima_stack(
     u16 = stack0.dtype == jnp.uint16
 
     st0, st1 = _prep_stack_operands(stack0, stack1, tile_i, tile_j)
+    rb = max(1, min(rows, h))
+    st0 = _pad_axis(st0, 0, rb)
+    st1 = _pad_axis(st1, 0, rb)
+    hpad = st0.shape[0]
     w0pad, w1pad = st0.shape[2], st1.shape[2]
     ni = w0pad // tile_i
     if tile_j == 0:
@@ -1532,7 +1588,7 @@ def _row_minima_stack(
 
     cxj = jnp.asarray(cxp, jnp.bfloat16)
     cyj = jnp.asarray(cyp, jnp.bfloat16)
-    grid = (h, ni)
+    grid = (hpad // rb, ni)
     mf, ml = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1541,29 +1597,29 @@ def _row_minima_stack(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, tile_i), lambda r, i: (r, 0, i),
+            pl.BlockSpec((rb, n, tile_i), lambda r, i: (r, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, w1pad), lambda r, i: (r, 0, 0),
+            pl.BlockSpec((rb, n, w1pad), lambda r, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
-            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), out_dtype),
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), out_dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((bpad, w1pad), b_dtype)],
+        scratch_shapes=[pltpu.VMEM((rb, bpad, w1pad), b_dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * h * w0pad * w1pad * bpad * (2 if need_last else 1),
-            bytes_accessed=h * (w0pad + w1pad) * n + h * w0pad * 8,
+            flops=2 * hpad * w0pad * w1pad * bpad * (2 if need_last else 1),
+            bytes_accessed=hpad * (w0pad + w1pad) * n + hpad * w0pad * 8,
             transcendentals=0,
         ),
     )(cxj, cyj, st0, st1)
@@ -1571,11 +1627,11 @@ def _row_minima_stack(
     # No cost surface: the fused path never materializes pop(a), and no
     # production consumer needs the raw Hamming cost (search.py uses only
     # the argmin columns).
-    mf = mf.reshape(h, w0pad)[:, :w0]
+    mf = mf.reshape(hpad, w0pad)[:h, :w0]
     if engine == "i8":
         first = mf & jnp.int32(PACK_S - 1)
         if need_last:
-            ml = ml.reshape(h, w0pad)[:, :w0]
+            ml = ml.reshape(hpad, w0pad)[:h, :w0]
             last = (PACK_S - 1) - (ml & jnp.int32(PACK_S - 1))
         else:
             last = None
@@ -1583,7 +1639,7 @@ def _row_minima_stack(
     sf = jnp.floor(mf / PACK_S)
     first = (mf - sf * PACK_S).astype(jnp.int32)
     if need_last:
-        ml = ml.reshape(h, w0pad)[:, :w0]
+        ml = ml.reshape(hpad, w0pad)[:h, :w0]
         sl = jnp.floor(ml / PACK_S)
         last = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
     else:
@@ -1595,6 +1651,7 @@ def _row_minima_stack(
     jax.jit,
     static_argnames=(
         "mode", "no_dupes", "tile_i", "tile_j", "interpret", "engine",
+        "rows",
     ),
 )
 def _row_minima_consistency_stack(
@@ -1607,6 +1664,7 @@ def _row_minima_consistency_stack(
     tile_j: int,
     interpret: bool,
     engine: str,
+    rows: int = 1,
 ):
     from ..config import actual_bits
 
@@ -1627,6 +1685,10 @@ def _row_minima_consistency_stack(
     u16 = stack0.dtype == jnp.uint16
 
     st0, st1 = _prep_stack_operands(stack0, stack1, tile_i, tile_j)
+    rb = max(1, min(rows, h))
+    st0 = _pad_axis(st0, 0, rb)
+    st1 = _pad_axis(st1, 0, rb)
+    hpad = st0.shape[0]
     w0pad, w1pad = st0.shape[2], st1.shape[2]
     ni = w0pad // tile_i
 
@@ -1644,7 +1706,7 @@ def _row_minima_consistency_stack(
 
     cxj = jnp.asarray(cxp, jnp.bfloat16)
     cyj = jnp.asarray(cyp, jnp.bfloat16)
-    grid = (h, ni)
+    grid = (hpad // rb, ni)
     mf, ml, mrf, mrl = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1653,46 +1715,46 @@ def _row_minima_consistency_stack(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, tile_i), lambda r, i: (r, 0, i),
+            pl.BlockSpec((rb, n, tile_i), lambda r, i: (r, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, w1pad), lambda r, i: (r, 0, 0),
+            pl.BlockSpec((rb, n, w1pad), lambda r, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(
-            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype)
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), out_dtype)
             for _ in range(4)
         ),
         scratch_shapes=[
-            pltpu.VMEM((bpad, w1pad), b_dtype),
-            pltpu.VMEM((8, w1pad), out_dtype),
+            pltpu.VMEM((rb, bpad, w1pad), b_dtype),
+            pltpu.VMEM((max(8, 2 * rb), w1pad), out_dtype),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * h * w0pad * w1pad * bpad,
-            bytes_accessed=h * (w0pad + w1pad) * n
-            + h * (w0pad + w1pad) * 8,
+            flops=4 * hpad * w0pad * w1pad * bpad,
+            bytes_accessed=hpad * (w0pad + w1pad) * n
+            + hpad * (w0pad + w1pad) * 8,
             transcendentals=0,
         ),
     )(cxj, cyj, st0, st1)
 
-    mf = mf.reshape(h, w0pad)[:, :w0]
-    mrf = mrf.reshape(h, w0pad)[:, :w0]
+    mf = mf.reshape(hpad, w0pad)[:h, :w0]
+    mrf = mrf.reshape(hpad, w0pad)[:h, :w0]
     if engine == "i8":
         mask = jnp.int32(PACK_S - 1)
         first0 = mf & mask
         rc0 = mrf & mask
         if no_dupes:
-            ml = ml.reshape(h, w0pad)[:, :w0]
+            ml = ml.reshape(hpad, w0pad)[:h, :w0]
             last0 = (PACK_S - 1) - (ml & mask)
-            mrl = mrl.reshape(h, w0pad)[:, :w0]
+            mrl = mrl.reshape(hpad, w0pad)[:h, :w0]
             rc0_last = (PACK_S - 1) - (mrl & mask)
         else:
             last0 = None
@@ -1710,8 +1772,8 @@ def _row_minima_consistency_stack(
     first0 = dec_first(mf)
     rc0 = dec_first(mrf)
     if no_dupes:
-        last0 = dec_last(ml.reshape(h, w0pad)[:, :w0])
-        rc0_last = dec_last(mrl.reshape(h, w0pad)[:, :w0])
+        last0 = dec_last(ml.reshape(hpad, w0pad)[:h, :w0])
+        rc0_last = dec_last(mrl.reshape(hpad, w0pad)[:h, :w0])
     else:
         last0 = None
         rc0_last = None
@@ -1729,11 +1791,13 @@ def row_minima_stack(
     interpret: bool = False,
     engine: str | None = None,
     reduce: bool | None = None,
+    rows: int | None = None,
 ):
     """Fused transform+search surface: raw (n, H, W) u8/u16 stacks in,
     packed-argmin columns out. Raises ValueError for LIMITED n<4 (constant
     descriptor bit — see :func:`..descriptor.compare_coeffs`); callers
-    fall back to the words path."""
+    fall back to the words path. ``rows`` (default ``BICOS_SEARCH_ROWS``)
+    batches image rows per grid step."""
     _, h, w0 = stack0.shape
     w1 = stack1.shape[2]
     if max(w0, w1) >= PACK_S:
@@ -1752,6 +1816,7 @@ def row_minima_stack(
         interpret=interpret,
         engine=engine or DEFAULT_ENGINE,
         reduce=DEFAULT_REDUCE if reduce is None else reduce,
+        rows=SEARCH_ROWS if rows is None else rows,
     )
 
 
@@ -1765,8 +1830,11 @@ def row_minima_consistency_stack(
     tile_j: int = DEF_TILE_J,
     interpret: bool = False,
     engine: str | None = None,
+    rows: int | None = None,
 ):
-    """Fused transform + Consistency-search surface (raw stacks in)."""
+    """Fused transform + Consistency-search surface (raw stacks in).
+    ``rows`` (default ``BICOS_CONS_ROWS``) batches image rows per grid
+    step."""
     _, h, w0 = stack0.shape
     w1 = stack1.shape[2]
     if max(w0, w1) >= PACK_S:
@@ -1781,6 +1849,7 @@ def row_minima_consistency_stack(
         tile_j=tile_j,
         interpret=interpret,
         engine=engine or DEFAULT_ENGINE,
+        rows=CONS_ROWS if rows is None else rows,
     )
 
 
