@@ -306,11 +306,11 @@ def _encode_a(words_tile, nbits: int, bpad: int, sign: int):
 
 
 def _minima_kernel(
-    w0_ref,  # (1, TILE_I, nw) uint32 — left descriptor words for this tile
-    w1_ref,  # (1, W1PAD, nw) uint32 — full right row, revisited across i
-    outf_ref,  # (1, NI, TILE_I) f32 — whole row of packed first-minima
-    outl_ref,  # (1, NI, TILE_I) f32 — whole row of packed last-maxima
-    b_scratch,  # (W1PAD, BPAD) bf16 — encoded right row
+    w0_ref,  # (RB, TILE_I, nw) uint32 — left descriptor words for this tile
+    w1_ref,  # (RB, W1PAD, nw) uint32 — full right rows, revisited across i
+    outf_ref,  # (RB, NI, TILE_I) f32 — whole row of packed first-minima
+    outl_ref,  # (RB, NI, TILE_I) f32 — whole row of packed last-maxima
+    b_scratch,  # (RB, W1PAD, BPAD) bf16 — encoded right rows
     *,
     nbits: int,
     w1: int,
@@ -320,41 +320,42 @@ def _minima_kernel(
     reduce: bool,
 ):
     i = pl.program_id(1)
+    rb = w0_ref.shape[0]
     tile_i = w0_ref.shape[1]
-    bpad = b_scratch.shape[1]
+    bpad = b_scratch.shape[2]
 
-    # Encode the right row into VMEM once per image row (i == 0), in
+    # Encode the right rows into VMEM once per grid row (i == 0), in
     # segments inside a fori_loop so the shift/mask temporaries are reused.
+    # RB image rows per grid step (SEARCH_ROWS) amortize per-step overhead.
     @pl.when(i == 0)
     def _():
-        nseg = w1pad // UNPACK_SEG
+        def write_seg(k):
+            for r in range(rb):
+                seg = w1_ref[r, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
+                b_scratch[r, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = (
+                    _encode_b(seg, k * UNPACK_SEG, nbits, bpad)
+                )
 
-        def encode_seg(k, carry):
-            seg = w1_ref[0, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
-            b_scratch[pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = _encode_b(
-                seg, k * UNPACK_SEG, nbits, bpad
-            )
-            return carry
-
-        jax.lax.fori_loop(0, nseg, encode_seg, 0)
-
-    a_f = _encode_a(w0_ref[0], nbits, bpad, sign=-1)
+        _encode_b_segments(b_scratch, w1pad, write_seg)
 
     nj = w1pad // tile_j
 
-    def dotf_chunk(j):
-        b_tile = b_scratch[pl.ds(j * tile_j, tile_j), :]
-        return jax.lax.dot_general(
-            a_f, b_tile,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (TILE_I, TILE_J) = s*8192 + col
+    for r in range(rb):
+        a_f = _encode_a(w0_ref[r], nbits, bpad, sign=-1)
 
-    outf, outl = _sweep_minima_bf16(
-        dotf_chunk, tile_i, tile_j, nj, w1, need_last, reduce
-    )
-    outf_ref[0, i, :] = outf
-    outl_ref[0, i, :] = outl
+        def dotf_chunk(j, r=r, a_f=a_f):
+            b_tile = b_scratch[r, pl.ds(j * tile_j, tile_j), :]
+            return jax.lax.dot_general(
+                a_f, b_tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TILE_I, TILE_J) = s*8192 + col
+
+        outf, outl = _sweep_minima_bf16(
+            dotf_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+        )
+        outf_ref[r, i, :] = outf
+        outl_ref[r, i, :] = outl
 
 
 def _sweep_minima_bf16(
@@ -528,11 +529,11 @@ def _sweep_minima_i8(
 
 
 def _minima_kernel_i8(
-    w0_ref,  # (1, TILE_I, nw) uint32 — left descriptor words for this tile
-    w1_ref,  # (1, W1PAD, nw) uint32 — full right row, revisited across i
-    outf_ref,  # (1, NI, TILE_I) i32 — whole row of packed first-minima
-    outl_ref,  # (1, NI, TILE_I) i32 — whole row of packed last-minima
-    b_scratch,  # (W1PAD, BPAD) int8 — encoded right row
+    w0_ref,  # (RB, TILE_I, nw) uint32 — left descriptor words for this tile
+    w1_ref,  # (RB, W1PAD, nw) uint32 — full right rows, revisited across i
+    outf_ref,  # (RB, NI, TILE_I) i32 — whole row of packed first-minima
+    outl_ref,  # (RB, NI, TILE_I) i32 — whole row of packed last-minima
+    b_scratch,  # (RB, W1PAD, BPAD) int8 — encoded right rows
     *,
     nbits: int,
     w1: int,
@@ -545,39 +546,39 @@ def _minima_kernel_i8(
     contractions at twice the bf16 rate, and the index packing moves to
     exact int32 VPU arithmetic (see :func:`_sweep_minima_i8`)."""
     i = pl.program_id(1)
+    rb = w0_ref.shape[0]
     tile_i = w0_ref.shape[1]
-    bpad = b_scratch.shape[1]
+    bpad = b_scratch.shape[2]
 
     @pl.when(i == 0)
     def _():
-        nseg = w1pad // UNPACK_SEG
+        def write_seg(k):
+            for r in range(rb):
+                seg = w1_ref[r, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
+                b_scratch[r, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = (
+                    _encode_b_i8(seg, nbits, bpad)
+                )
 
-        def encode_seg(k, carry):
-            seg = w1_ref[0, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
-            b_scratch[pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = _encode_b_i8(
-                seg, nbits, bpad
-            )
-            return carry
-
-        jax.lax.fori_loop(0, nseg, encode_seg, 0)
-
-    a_i = _encode_a_i8(w0_ref[0], nbits, bpad)
+        _encode_b_segments(b_scratch, w1pad, write_seg)
 
     nj = w1pad // tile_j
 
-    def dot_chunk(j):
-        b_tile = b_scratch[pl.ds(j * tile_j, tile_j), :]
-        return jax.lax.dot_general(
-            a_i, b_tile,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (TILE_I, TILE_J) = s
+    for r in range(rb):
+        a_i = _encode_a_i8(w0_ref[r], nbits, bpad)
 
-    outf, outl = _sweep_minima_i8(
-        dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce
-    )
-    outf_ref[0, i, :] = outf
-    outl_ref[0, i, :] = outl
+        def dot_chunk(j, r=r, a_i=a_i):
+            b_tile = b_scratch[r, pl.ds(j * tile_j, tile_j), :]
+            return jax.lax.dot_general(
+                a_i, b_tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (TILE_I, TILE_J) = s
+
+        outf, outl = _sweep_minima_i8(
+            dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+        )
+        outf_ref[r, i, :] = outf
+        outl_ref[r, i, :] = outl
 
 
 def _consistency_lookup(
@@ -1022,14 +1023,14 @@ def _consistency_kernel_i8_stack(
 
 
 def _consistency_kernel(
-    w0_ref,  # (1, TILE_I, nw) uint32 — left descriptor words for this tile
-    w1_ref,  # (1, W1PAD, nw) uint32 — full right row, revisited across i
-    outf_ref,  # (1, NI, TILE_I) f32 — packed forward first-minima
-    outl_ref,  # (1, NI, TILE_I) f32 — packed forward last-minima
-    rcf_ref,  # (1, NI, TILE_I) f32 — reverse first-minima AT the fwd argmin
-    rcl_ref,  # (1, NI, TILE_I) f32 — reverse last-minima AT the fwd argmin
-    b_scratch,  # (W1PAD, BPAD) bf16 — encoded right row
-    rev_scratch,  # (8, W1PAD) f32 — reverse minima accumulator (row 0..7)
+    w0_ref,  # (RB, TILE_I, nw) uint32 — left descriptor words for this tile
+    w1_ref,  # (RB, W1PAD, nw) uint32 — full right rows, revisited across i
+    outf_ref,  # (RB, NI, TILE_I) f32 — packed forward first-minima
+    outl_ref,  # (RB, NI, TILE_I) f32 — packed forward last-minima
+    rcf_ref,  # (RB, NI, TILE_I) f32 — reverse first-minima AT the fwd argmin
+    rcl_ref,  # (RB, NI, TILE_I) f32 — reverse last-minima AT the fwd argmin
+    b_scratch,  # (RB, W1PAD, BPAD) bf16 — encoded right rows
+    rev_scratch,  # (max(8, 2*RB), W1PAD) f32 — rows 2r/2r+1 per image row
     *,
     nbits: int,
     w0: int,
@@ -1050,106 +1051,117 @@ def _consistency_kernel(
     true Hamming cost, which IS row-dependent along the reverse reduction)
     as a per-row broadcast before reducing over rows. Reverse results
     accumulate across the row-tile grid in VMEM scratch and flush on the
-    last tile.
+    last tile. RB image rows per grid step (``CONS_ROWS``); each row owns
+    2 lanes of the shared rev scratch.
     """
     i = pl.program_id(1)
     ni = pl.num_programs(1)
-    bpad = b_scratch.shape[1]
+    rb = w0_ref.shape[0]
+    bpad = b_scratch.shape[2]
 
     @pl.when(i == 0)
     def _():
-        nseg = w1pad // UNPACK_SEG
+        def write_seg(k):
+            for r in range(rb):
+                seg = w1_ref[r, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
+                b_scratch[r, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = (
+                    _encode_b(seg, k * UNPACK_SEG, nbits, bpad)
+                )
 
-        def encode_seg(k, carry):
-            seg = w1_ref[0, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
-            b_scratch[pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = _encode_b(
-                seg, k * UNPACK_SEG, nbits, bpad
-            )
-            return carry
-
-        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+        _encode_b_segments(b_scratch, w1pad, write_seg)
         rev_scratch[...] = jnp.full(
-            (8, w1pad), jnp.float32(ACC_INIT * 2), jnp.float32
+            rev_scratch.shape, jnp.float32(ACC_INIT * 2), jnp.float32
         )
 
-    a_f = _encode_a(w0_ref[0], nbits, bpad, sign=-1)
-    # Bits-only query (extras zeroed): against b's col columns the extras
-    # contribute 0, so this dot emits pure s*8192.
-    a_s = _encode_a_bits(w0_ref[0], nbits, bpad)
-
-    # Row-varying reverse terms: pop0*8192 restores the true Hamming cost
-    # (s depends on the row's popcount, which is NOT constant along the
-    # reverse reduction), col0 packs the argmin, and padded query rows
-    # (>= W0) get a penalty so they never win.
-    bits0 = _unpack_bits_i32(w0_ref[0].reshape(tile_i, -1))
-    pop0 = jnp.sum(bits0, axis=1, keepdims=True).astype(jnp.float32)
     row0 = i * tile_i + jax.lax.broadcasted_iota(
         jnp.int32, (tile_i, 1), 0
     )
     rowpen = jnp.where(row0 >= w0, jnp.float32(PAD_PENALTY), 0.0)
-    radd_f = pop0 * jnp.float32(PACK_S) + row0.astype(jnp.float32) + rowpen
-    radd_l = (pop0 * jnp.float32(PACK_S)
-              + (jnp.float32(PACK_S - 1) - row0.astype(jnp.float32))
-              + rowpen)
-
     nj = w1pad // tile_j
 
-    def chunk(j, accf, accl):
-        b_tile = b_scratch[pl.ds(j * tile_j, tile_j), :]
-        dotf = jax.lax.dot_general(
-            a_f, b_tile, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dots = jax.lax.dot_general(
-            a_s, b_tile, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        colv = j * tile_j + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile_j), 1
-        )
-        pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
-        accf = jnp.minimum(accf, dotf + pen)
-        if no_dupes:
-            cvec = (jnp.float32(PACK_S - 1)
-                    - 2.0 * colv.astype(jnp.float32)) + pen
-            accl = jnp.minimum(accl, dotf + cvec)
-        # Reverse: min over rows of (ham*8192 + col0) per right column.
-        rev_f = jnp.min(dots + radd_f, axis=0, keepdims=True)  # (1, TJ)
-        js = pl.ds(j * tile_j, tile_j)
-        cur = rev_scratch[0:1, js]
-        rev_scratch[0:1, js] = jnp.minimum(cur, rev_f)
-        if no_dupes:
-            rev_l = jnp.min(dots + radd_l, axis=0, keepdims=True)
-            cur_l = rev_scratch[1:2, js]
-            rev_scratch[1:2, js] = jnp.minimum(cur_l, rev_l)
-        return accf, accl
+    for r in range(rb):
+        a_f = _encode_a(w0_ref[r], nbits, bpad, sign=-1)
+        # Bits-only query (extras zeroed): against b's col columns the
+        # extras contribute 0, so this dot emits pure s*8192.
+        a_s = _encode_a_bits(w0_ref[r], nbits, bpad)
 
-    init = jnp.full((tile_i, tile_j), jnp.float32(ACC_INIT), jnp.float32)
-    accf, accl = init, init
-    for j in range(nj):
-        accf, accl = chunk(j, accf, accl)
+        # Row-varying reverse terms: pop0*8192 restores the true Hamming
+        # cost (s depends on the row's popcount, which is NOT constant
+        # along the reverse reduction), col0 packs the argmin, and padded
+        # query rows (>= W0) get a penalty so they never win.
+        bits0 = _unpack_bits_i32(w0_ref[r].reshape(tile_i, -1))
+        pop0 = jnp.sum(bits0, axis=1, keepdims=True).astype(jnp.float32)
+        radd_f = (pop0 * jnp.float32(PACK_S)
+                  + row0.astype(jnp.float32) + rowpen)
+        radd_l = (pop0 * jnp.float32(PACK_S)
+                  + (jnp.float32(PACK_S - 1) - row0.astype(jnp.float32))
+                  + rowpen)
 
-    outf_ref[0, i, :] = jnp.min(accf, axis=1)
-    outl_ref[0, i, :] = (jnp.min(accl, axis=1) if no_dupes
-                         else jnp.zeros((tile_i,), jnp.float32))
+        def chunk(j, accf, accl, r=r, a_f=a_f, a_s=a_s,
+                  radd_f=radd_f, radd_l=radd_l):
+            b_tile = b_scratch[r, pl.ds(j * tile_j, tile_j), :]
+            dn = (((1,), (1,)), ((), ()))
+            dotf = jax.lax.dot_general(
+                a_f, b_tile, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            dots = jax.lax.dot_general(
+                a_s, b_tile, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            colv = j * tile_j + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile_j), 1
+            )
+            pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
+            accf = jnp.minimum(accf, dotf + pen)
+            if no_dupes:
+                cvec = (jnp.float32(PACK_S - 1)
+                        - 2.0 * colv.astype(jnp.float32)) + pen
+                accl = jnp.minimum(accl, dotf + cvec)
+            # Reverse: min over rows of (ham*8192 + col0) per right column.
+            rev_f = jnp.min(dots + radd_f, axis=0, keepdims=True)  # (1,TJ)
+            js = pl.ds(j * tile_j, tile_j)
+            sb = 2 * r
+            rev_scratch[sb:sb + 1, js] = jnp.minimum(
+                rev_scratch[sb:sb + 1, js], rev_f
+            )
+            if no_dupes:
+                rev_l = jnp.min(dots + radd_l, axis=0, keepdims=True)
+                rev_scratch[sb + 1:sb + 2, js] = jnp.minimum(
+                    rev_scratch[sb + 1:sb + 2, js], rev_l
+                )
+            return accf, accl
+
+        init = jnp.full(
+            (tile_i, tile_j), jnp.float32(ACC_INIT), jnp.float32
+        )
+        accf, accl = init, init
+        for j in range(nj):
+            accf, accl = chunk(j, accf, accl)
+
+        outf_ref[r, i, :] = jnp.min(accf, axis=1)
+        outl_ref[r, i, :] = (jnp.min(accl, axis=1) if no_dupes
+                             else jnp.zeros((tile_i,), jnp.float32))
 
     @pl.when(i == ni - 1)
     def _():
-        _consistency_lookup(
-            outf_ref, rev_scratch, rcf_ref, rcl_ref,
-            ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
-        )
+        for r in range(rb):
+            _consistency_lookup(
+                outf_ref, rev_scratch, rcf_ref, rcl_ref,
+                ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
+                row=r, src_base=2 * r,
+            )
 
 
 def _consistency_kernel_i8(
-    w0_ref,  # (1, TILE_I, nw) uint32
-    w1_ref,  # (1, W1PAD, nw) uint32
-    outf_ref,  # (1, NI, TILE_I) i32 — packed forward first-minima
-    outl_ref,  # (1, NI, TILE_I) i32 — packed forward last-minima
-    rcf_ref,  # (1, NI, TILE_I) i32 — reverse first-minima AT the fwd argmin
-    rcl_ref,  # (1, NI, TILE_I) i32 — reverse last-minima AT the fwd argmin
-    b_scratch,  # (W1PAD, BPAD) int8 — encoded right row
-    rev_scratch,  # (8, W1PAD) i32 — reverse minima accumulator
+    w0_ref,  # (RB, TILE_I, nw) uint32
+    w1_ref,  # (RB, W1PAD, nw) uint32
+    outf_ref,  # (RB, NI, TILE_I) i32 — packed forward first-minima
+    outl_ref,  # (RB, NI, TILE_I) i32 — packed forward last-minima
+    rcf_ref,  # (RB, NI, TILE_I) i32 — reverse first-minima AT the fwd argmin
+    rcl_ref,  # (RB, NI, TILE_I) i32 — reverse last-minima AT the fwd argmin
+    b_scratch,  # (RB, W1PAD, BPAD) int8 — encoded right rows
+    rev_scratch,  # (max(8, 2*RB), W1PAD) i32 — rows 2r/2r+1 per image row
     *,
     nbits: int,
     w0: int,
@@ -1165,78 +1177,87 @@ def _consistency_kernel_i8(
     the bf16 kernel runs a second matmul to get the pure ``s`` the reverse
     direction needs (its forward dot has the col index folded in), whereas
     here the dot IS pure ``s`` and both directions pack on the VPU.
+    RB image rows per grid step; each row owns 2 lanes of the rev scratch.
     """
     i = pl.program_id(1)
     ni = pl.num_programs(1)
-    bpad = b_scratch.shape[1]
+    rb = w0_ref.shape[0]
+    bpad = b_scratch.shape[2]
 
     @pl.when(i == 0)
     def _():
-        nseg = w1pad // UNPACK_SEG
+        def write_seg(k):
+            for r in range(rb):
+                seg = w1_ref[r, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
+                b_scratch[r, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = (
+                    _encode_b_i8(seg, nbits, bpad)
+                )
 
-        def encode_seg(k, carry):
-            seg = w1_ref[0, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
-            b_scratch[pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = _encode_b_i8(
-                seg, nbits, bpad
-            )
-            return carry
-
-        jax.lax.fori_loop(0, nseg, encode_seg, 0)
+        _encode_b_segments(b_scratch, w1pad, write_seg)
         rev_scratch[...] = jnp.full(
-            (8, w1pad), jnp.int32(1) << 25, jnp.int32
+            rev_scratch.shape, jnp.int32(1) << 25, jnp.int32
         )
 
-    a_i = _encode_a_i8(w0_ref[0], nbits, bpad)
-
-    # Row-varying reverse terms: pop0*8192 restores the true Hamming cost;
-    # padded query rows (>= W0) are penalized out.
-    bits0 = _unpack_bits_i32(w0_ref[0].reshape(tile_i, -1))
-    pop0 = jnp.sum(bits0, axis=1, keepdims=True)
     row0 = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0)
     rowpen = jnp.where(row0 >= w0, jnp.int32(1) << 23, 0)
-    radd_f = (pop0 << 13) + row0 + rowpen
-    radd_l = (pop0 << 13) + (jnp.int32(PACK_S - 1) - row0) + rowpen
-
     nj = w1pad // tile_j
 
-    def chunk(j, accf, accl):
-        b_tile = b_scratch[pl.ds(j * tile_j, tile_j), :]
-        s13 = jax.lax.dot_general(
-            a_i, b_tile, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ) << 13
-        colv = j * tile_j + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile_j), 1
-        )
-        pen = jnp.where(colv >= w1, jnp.int32(1) << 23, 0)
-        accf = jnp.minimum(accf, s13 + colv + pen)
-        if no_dupes:
-            accl = jnp.minimum(
-                accl, s13 + (jnp.int32(PACK_S - 1) - colv) + pen
+    for r in range(rb):
+        a_i = _encode_a_i8(w0_ref[r], nbits, bpad)
+
+        # Row-varying reverse terms: pop0*8192 restores the true Hamming
+        # cost; padded query rows (>= W0) are penalized out.
+        bits0 = _unpack_bits_i32(w0_ref[r].reshape(tile_i, -1))
+        pop0 = jnp.sum(bits0, axis=1, keepdims=True)
+        radd_f = (pop0 << 13) + row0 + rowpen
+        radd_l = (pop0 << 13) + (jnp.int32(PACK_S - 1) - row0) + rowpen
+
+        def chunk(j, accf, accl, r=r, a_i=a_i,
+                  radd_f=radd_f, radd_l=radd_l):
+            b_tile = b_scratch[r, pl.ds(j * tile_j, tile_j), :]
+            s13 = jax.lax.dot_general(
+                a_i, b_tile, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) << 13
+            colv = j * tile_j + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile_j), 1
             )
-        rev_f = jnp.min(s13 + radd_f, axis=0, keepdims=True)  # (1, TJ)
-        js = pl.ds(j * tile_j, tile_j)
-        rev_scratch[0:1, js] = jnp.minimum(rev_scratch[0:1, js], rev_f)
-        if no_dupes:
-            rev_l = jnp.min(s13 + radd_l, axis=0, keepdims=True)
-            rev_scratch[1:2, js] = jnp.minimum(rev_scratch[1:2, js], rev_l)
-        return accf, accl
+            pen = jnp.where(colv >= w1, jnp.int32(1) << 23, 0)
+            accf = jnp.minimum(accf, s13 + colv + pen)
+            if no_dupes:
+                accl = jnp.minimum(
+                    accl, s13 + (jnp.int32(PACK_S - 1) - colv) + pen
+                )
+            rev_f = jnp.min(s13 + radd_f, axis=0, keepdims=True)  # (1, TJ)
+            js = pl.ds(j * tile_j, tile_j)
+            sb = 2 * r
+            rev_scratch[sb:sb + 1, js] = jnp.minimum(
+                rev_scratch[sb:sb + 1, js], rev_f
+            )
+            if no_dupes:
+                rev_l = jnp.min(s13 + radd_l, axis=0, keepdims=True)
+                rev_scratch[sb + 1:sb + 2, js] = jnp.minimum(
+                    rev_scratch[sb + 1:sb + 2, js], rev_l
+                )
+            return accf, accl
 
-    init = jnp.full((tile_i, tile_j), jnp.int32(1) << 24, jnp.int32)
-    accf, accl = init, init
-    for j in range(nj):
-        accf, accl = chunk(j, accf, accl)
+        init = jnp.full((tile_i, tile_j), jnp.int32(1) << 24, jnp.int32)
+        accf, accl = init, init
+        for j in range(nj):
+            accf, accl = chunk(j, accf, accl)
 
-    outf_ref[0, i, :] = jnp.min(accf, axis=1)
-    outl_ref[0, i, :] = (jnp.min(accl, axis=1) if no_dupes
-                         else jnp.zeros((tile_i,), jnp.int32))
+        outf_ref[r, i, :] = jnp.min(accf, axis=1)
+        outl_ref[r, i, :] = (jnp.min(accl, axis=1) if no_dupes
+                             else jnp.zeros((tile_i,), jnp.int32))
 
     @pl.when(i == ni - 1)
     def _():
-        _consistency_lookup(
-            outf_ref, rev_scratch, rcf_ref, rcl_ref,
-            ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
-        )
+        for r in range(rb):
+            _consistency_lookup(
+                outf_ref, rev_scratch, rcf_ref, rcl_ref,
+                ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
+                row=r, src_base=2 * r,
+            )
 
 
 def _encode_a_bits(words_tile, nbits: int, bpad: int):
@@ -1268,7 +1289,7 @@ def _pad_axis(x, axis: int, mult: int):
     jax.jit,
     static_argnames=(
         "nbits", "need_last", "tile_i", "tile_j", "interpret", "engine",
-        "reduce",
+        "reduce", "rows",
     ),
 )
 def _row_minima_words(
@@ -1283,12 +1304,17 @@ def _row_minima_words(
     interpret: bool,
     engine: str,
     reduce: bool = False,
+    rows: int = 1,
 ):
     h, w0, nw = words0.shape
     w1 = words1.shape[1]
 
     words0p = _pad_axis(words0, 1, tile_i)
     words1p = _pad_axis(words1, 1, max(tile_j, UNPACK_SEG))
+    rb = max(1, min(rows, h))
+    words0p = _pad_axis(words0p, 0, rb)
+    words1p = _pad_axis(words1p, 0, rb)
+    hpad = words0p.shape[0]
     w0pad = words0p.shape[1]
     w1pad = words1p.shape[1]
     ni = w0pad // tile_i
@@ -1313,53 +1339,53 @@ def _row_minima_words(
         reduce=reduce,
     )
 
-    grid = (h, ni)
+    grid = (hpad // rb, ni)
     mf, ml = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, tile_i, nw),
+                (rb, tile_i, nw),
                 lambda r, i: (r, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, w1pad, nw),
+                (rb, w1pad, nw),
                 lambda r, i: (r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
-            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
-            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype),
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), out_dtype),
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), out_dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((w1pad, bpad), b_dtype)],
+        scratch_shapes=[pltpu.VMEM((rb, w1pad, bpad), b_dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * h * w0pad * w1pad * bpad * (2 if need_last else 1),
-            bytes_accessed=(h * (w0pad + w1pad) * nw * 4
-                            + h * w0pad * 8),
+            flops=2 * hpad * w0pad * w1pad * bpad * (2 if need_last else 1),
+            bytes_accessed=(hpad * (w0pad + w1pad) * nw * 4
+                            + hpad * w0pad * 8),
             transcendentals=0,
         ),
     )(words0p, words1p)
 
-    mf = mf.reshape(h, w0pad)[:, :w0]
+    mf = mf.reshape(hpad, w0pad)[:h, :w0]
     if engine == "i8":
         # mf = s*8192 + col in exact int32; >> 13 floors for negative s and
         # the low 13 bits are col regardless of sign.
         first = mf & jnp.int32(PACK_S - 1)
         cost = (mf >> 13) + pop0
         if need_last:
-            ml = ml.reshape(h, w0pad)[:, :w0]
+            ml = ml.reshape(hpad, w0pad)[:h, :w0]
             last = (PACK_S - 1) - (ml & jnp.int32(PACK_S - 1))
         else:
             last = None
@@ -1371,7 +1397,7 @@ def _row_minima_words(
     if need_last:
         # ml = min(s*8192 + (8191 - col)): the minimal s wins with the
         # LARGEST col as tiebreak; col = 8191 - (ml mod 8192).
-        ml = ml.reshape(h, w0pad)[:, :w0]
+        ml = ml.reshape(hpad, w0pad)[:h, :w0]
         sl = jnp.floor(ml / PACK_S)
         last = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
     else:
@@ -1383,6 +1409,7 @@ def _row_minima_words(
     jax.jit,
     static_argnames=(
         "nbits", "no_dupes", "tile_i", "tile_j", "interpret", "engine",
+        "rows",
     ),
 )
 def _row_minima_consistency_words(
@@ -1396,12 +1423,17 @@ def _row_minima_consistency_words(
     tile_j: int,
     interpret: bool,
     engine: str,
+    rows: int = 1,
 ):
     h, w0, nw = words0.shape
     w1 = words1.shape[1]
 
     words0p = _pad_axis(words0, 1, tile_i)
     words1p = _pad_axis(words1, 1, max(tile_j, UNPACK_SEG))
+    rb = max(1, min(rows, h))
+    words0p = _pad_axis(words0p, 0, rb)
+    words1p = _pad_axis(words1p, 0, rb)
+    hpad = words0p.shape[0]
     w0pad = words0p.shape[1]
     w1pad = words1p.shape[1]
     ni = w0pad // tile_i
@@ -1427,56 +1459,56 @@ def _row_minima_consistency_words(
         no_dupes=no_dupes,
     )
 
-    grid = (h, ni)
+    grid = (hpad // rb, ni)
     mf, ml, mrf, mrl = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, tile_i, nw), lambda r, i: (r, i, 0),
+                (rb, tile_i, nw), lambda r, i: (r, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, w1pad, nw), lambda r, i: (r, 0, 0),
+                (rb, w1pad, nw), lambda r, i: (r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=tuple(
-            pl.BlockSpec((1, ni, tile_i), lambda r, i: (r, 0, 0),
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((h, ni, tile_i), out_dtype)
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), out_dtype)
             for _ in range(4)
         ),
         scratch_shapes=[
-            pltpu.VMEM((w1pad, bpad), b_dtype),
-            pltpu.VMEM((8, w1pad), out_dtype),
+            pltpu.VMEM((rb, w1pad, bpad), b_dtype),
+            pltpu.VMEM((max(8, 2 * rb), w1pad), out_dtype),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * h * w0pad * w1pad * bpad,
-            bytes_accessed=(h * (w0pad + w1pad) * nw * 4
-                            + h * (w0pad + w1pad) * 8),
+            flops=4 * hpad * w0pad * w1pad * bpad,
+            bytes_accessed=(hpad * (w0pad + w1pad) * nw * 4
+                            + hpad * (w0pad + w1pad) * 8),
             transcendentals=0,
         ),
     )(words0p, words1p)
 
-    mf = mf.reshape(h, w0pad)[:, :w0]
-    mrf = mrf.reshape(h, w0pad)[:, :w0]
+    mf = mf.reshape(hpad, w0pad)[:h, :w0]
+    mrf = mrf.reshape(hpad, w0pad)[:h, :w0]
     if engine == "i8":
         mask = jnp.int32(PACK_S - 1)
         first0 = mf & mask
         cost0 = (mf >> 13) + pop0
         rc0 = mrf & mask
         if no_dupes:
-            ml = ml.reshape(h, w0pad)[:, :w0]
+            ml = ml.reshape(hpad, w0pad)[:h, :w0]
             last0 = (PACK_S - 1) - (ml & mask)
-            mrl = mrl.reshape(h, w0pad)[:, :w0]
+            mrl = mrl.reshape(hpad, w0pad)[:h, :w0]
             rc0_last = (PACK_S - 1) - (mrl & mask)
         else:
             last0 = None
@@ -1488,10 +1520,10 @@ def _row_minima_consistency_words(
     sr = jnp.floor(mrf / PACK_S)
     rc0 = (mrf - sr * PACK_S).astype(jnp.int32)
     if no_dupes:
-        ml = ml.reshape(h, w0pad)[:, :w0]
+        ml = ml.reshape(hpad, w0pad)[:h, :w0]
         sl = jnp.floor(ml / PACK_S)
         last0 = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
-        mrl = mrl.reshape(h, w0pad)[:, :w0]
+        mrl = mrl.reshape(hpad, w0pad)[:h, :w0]
         srl = jnp.floor(mrl / PACK_S)
         rc0_last = (PACK_S - 1) - (mrl - srl * PACK_S).astype(jnp.int32)
     else:
@@ -1880,8 +1912,10 @@ def row_minima_consistency_words(
     tile_j: int = DEF_TILE_J,
     interpret: bool = False,
     engine: str | None = None,
+    rows: int | None = None,
 ):
-    """Packed-words surface of the fused Consistency kernel."""
+    """Packed-words surface of the fused Consistency kernel. ``rows``
+    (default ``BICOS_CONS_ROWS``) batches image rows per grid step."""
     h, w0, _ = words0.shape
     w1 = words1.shape[1]
     if max(w0, w1) >= PACK_S:
@@ -1897,6 +1931,7 @@ def row_minima_consistency_words(
         tile_j=tile_j,
         interpret=interpret,
         engine=engine or DEFAULT_ENGINE,
+        rows=CONS_ROWS if rows is None else rows,
     )
 
 
@@ -1948,8 +1983,11 @@ def row_minima_pallas_words(
     interpret: bool = False,
     engine: str | None = None,
     reduce: bool | None = None,
+    rows: int | None = None,
 ):
-    """Packed-words surface of the Hamming-scan kernel (production path)."""
+    """Packed-words surface of the Hamming-scan kernel (production path).
+    ``rows`` (default ``BICOS_SEARCH_ROWS``) batches image rows per grid
+    step."""
     h, w0, _ = words0.shape
     w1 = words1.shape[1]
     if max(w0, w1) >= PACK_S:
@@ -1966,6 +2004,7 @@ def row_minima_pallas_words(
         interpret=interpret,
         engine=engine or DEFAULT_ENGINE,
         reduce=DEFAULT_REDUCE if reduce is None else reduce,
+        rows=SEARCH_ROWS if rows is None else rows,
     )
 
 

@@ -244,3 +244,48 @@ def test_fused_stack_multirow_parity(rng, rows):
                 assert b is None
                 continue
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("engine", ["i8", "bf16"])
+def test_words_multirow_parity(rng, engine):
+    """Multi-row batching on the packed-words kernels (the W-band ring /
+    transform-once surface) must be exact for both engines, including row
+    padding (H not a rows multiple) and rows > H."""
+    from libbicos_tpu.kernels.hamming import (
+        row_minima_consistency_words,
+        row_minima_pallas_words,
+    )
+
+    h, w, nbits, nw = 7, 40, 50, 2
+    packmask = np.zeros(nw, np.uint32)
+    for b in range(nbits):
+        packmask[b // 32] |= np.uint32(1 << (b % 32))
+    w0 = rng.integers(0, 2**32, (h, w, nw), dtype=np.uint32) & packmask
+    w1 = rng.integers(0, 2**32, (h, w, nw), dtype=np.uint32) & packmask
+
+    base = row_minima_pallas_words(
+        w0, w1, nbits=nbits, need_last=True, interpret=True,
+        engine=engine, rows=1,
+    )
+    for rows in (3, 16):
+        multi = row_minima_pallas_words(
+            w0, w1, nbits=nbits, need_last=True, interpret=True,
+            engine=engine, rows=rows,
+        )
+        for a, b in zip(base, multi):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cbase = row_minima_consistency_words(
+        w0, w1, nbits=nbits, no_dupes=True, interpret=True,
+        engine=engine, rows=1,
+    )
+    cmulti = row_minima_consistency_words(
+        w0, w1, nbits=nbits, no_dupes=True, interpret=True,
+        engine=engine, rows=3,
+    )
+    for bt, mt in zip(cbase, cmulti):
+        for a, b in zip(bt, mt):
+            if a is None:
+                assert b is None
+                continue
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
