@@ -286,16 +286,29 @@ def synthetic_stack_pair(
     )
 
 
-def load_multihost_stack(folder0, folder1=None, *, mesh, stacksize=None):
-    """Per-host sharded stack loading for multi-host meshes: every process
-    loads the full files (images are small) but only materializes its
-    addressable shards via ``jax.make_array_from_process_local_data``."""
+def distribute_stack(stack, *, mesh):
+    """Turn a host-local full ``(n, H, W)`` array (identical on every
+    process) into a global row-sharded ``jax.Array`` on ``mesh``.
+
+    Uses ``jax.make_array_from_callback`` so each process materializes only
+    the row bands its local devices own.  (``make_array_from_process_local_
+    data`` is the wrong tool here: it treats its argument as *this
+    process's* chunk and would concatenate the full array once per process,
+    doubling H on a 2-process mesh.)
+    """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    l, r = load_stack_pair(folder0, folder1, stacksize)
     (axis_name,) = mesh.axis_names
     sharding = NamedSharding(mesh, P(None, axis_name, None))
-    gl = jax.make_array_from_process_local_data(sharding, l)
-    gr = jax.make_array_from_process_local_data(sharding, r)
-    return gl, gr
+    return jax.make_array_from_callback(
+        stack.shape, sharding, lambda idx: stack[idx]
+    )
+
+
+def load_multihost_stack(folder0, folder1=None, *, mesh, stacksize=None):
+    """Per-host sharded stack loading for multi-host meshes: every process
+    loads the full files (images are small) but only materializes its
+    addressable row bands on-device (see :func:`distribute_stack`)."""
+    l, r = load_stack_pair(folder0, folder1, stacksize)
+    return distribute_stack(l, mesh=mesh), distribute_stack(r, mesh=mesh)
