@@ -170,6 +170,13 @@ def main():
     valid = float(np.isfinite(np.asarray(out)).mean())
     print(f"e2e times ms: {[f'{t:.1f}' for t in times]}; "
           f"valid-pixel fraction: {valid:.3f}", file=sys.stderr)
+    from libbicos_tpu.profiling import device_memory
+
+    mem = device_memory(dev)
+    if mem:  # reference anchor: ~1.6 GB VRAM (README.md:90)
+        peak_gb = mem.get("peak_bytes_in_use", 0) / 2**30
+        print(f"device memory: peak {peak_gb:.2f} GiB "
+              f"({mem})", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"e2e_match_n{n}_{w}x{h}_ms",

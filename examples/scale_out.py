@@ -12,13 +12,19 @@ shard). Rows are epipolar-independent, so H-banding is a zero-collective
 ``shard_map`` — N chips divide the match time by ~N.
 """
 
+import os
+
 import numpy as np
 
 import jax
 
 # Virtual 8-device CPU mesh fallback; must run before the backend
-# initializes (a no-op if the backend is already up or not CPU).
+# initializes (a no-op if the backend is already up or not CPU). Site
+# hooks may force a different default platform via jax.config, which
+# overrides the JAX_PLATFORMS env var — honor the env var explicitly.
 try:
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 except RuntimeError:
     pass
@@ -47,3 +53,10 @@ batch = np.stack([s0, s0 ^ 1, s0 ^ 2, s0 ^ 3])
 batch1 = np.stack([s1, s1 ^ 1, s1 ^ 2, s1 ^ 3])
 out = np.asarray(bicos.match_batched(batch, batch1, cfg))
 print("batched output:", out.shape, "pair0 matches:", (out[0] == ref).all())
+
+# Serving layout: whole batch H-banded over the mesh in one launch
+# (batch * H rows scattered, zero collectives).
+from libbicos_tpu.sharding import match_batched_sharded
+
+outs = np.asarray(match_batched_sharded(batch, batch1, cfg, mesh=mesh))
+print("batched+sharded matches batched:", (outs == out).all())

@@ -137,6 +137,25 @@ def metrics(disparity, elapsed_ms: Optional[float] = None) -> Dict:
     return out
 
 
+def device_memory(device=None) -> Dict:
+    """On-device memory stats (bytes). The reference headline quotes
+    ~1.6 GB VRAM (README.md:90); this is the HBM-side equivalent.
+    Returns {} on backends without allocator stats (e.g. CPU)."""
+    import jax
+
+    if device is None:
+        device = jax.devices()[0]
+    try:
+        stats = device.memory_stats() or {}
+    except (NotImplementedError, RuntimeError, AttributeError):
+        return {}
+    out = {}
+    for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+        if key in stats:
+            out[key] = int(stats[key])
+    return out
+
+
 def emit(d: Dict) -> str:
     """One-line JSON for log scraping."""
     s = json.dumps(d)

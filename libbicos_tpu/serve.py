@@ -1,0 +1,302 @@
+"""Persistent matching service: keep compiled pipelines warm, serve requests.
+
+Why this exists: a BICOS pipeline program takes minutes to XLA-compile per
+(shape, dtype, config) specialization on TPU, which makes process-per-match
+deployment (how the reference CLI is used, ``cli.cpp:55-253``) a non-starter
+for production. The reference has no serving story at all — its C-ABI
+binding (``pybicos_c.cpp``) still pays full startup per process. This
+module is the TPU-native answer: one long-lived engine process owns the
+device, precompiles the configured specializations once, and serves
+``match`` requests over HTTP with zero per-request compilation.
+
+Design:
+
+* **Engine** — thread-safe wrapper around :func:`libbicos_tpu.match` /
+  :func:`sharding.match_sharded` with a jit-specialization registry keyed by
+  ``(shape, dtype, config, corrmap)``. A lock serializes device work (one
+  TPU program runs at a time anyway); compilation of NEW shapes happens
+  inside the lock so concurrent first requests don't double-compile.
+* **Wire format** — ``.npz`` (one POST body) in, ``.npz`` out. No external
+  dependencies; works from any language with an npz writer.
+* **Warmup** — shapes listed at startup are compiled before the server
+  accepts traffic, so the first real request is fast.
+
+Usage::
+
+    python -m libbicos_tpu.serve --port 8344 \
+        --warmup 33x2200x3300:u8 --threshold 0.96 --step 0.1 --variance 2.0
+
+    # client
+    import io, urllib.request, numpy as np
+    buf = io.BytesIO()
+    np.savez(buf, stack0=s0, stack1=s1)
+    req = urllib.request.Request("http://localhost:8344/match",
+                                 data=buf.getvalue(),
+                                 headers={"Content-Type": "application/npz"})
+    with urllib.request.urlopen(req) as resp:
+        out = np.load(io.BytesIO(resp.read()))
+    disp = out["disparity"]
+
+Endpoints:
+
+* ``POST /match`` — body: npz with ``stack0``, ``stack1`` ``(n, H, W)``
+  arrays; optional query params override the engine's default config
+  (``threshold``, ``step``, ``variance``, ``limited``, ``lr_maxdiff``,
+  ``no_dupes``, ``corrmap``). Response: npz with ``disparity`` (and
+  ``corrmap`` if requested).
+* ``GET /healthz`` — liveness + compiled-specialization count, JSON.
+* ``POST /warmup?shape=NxHxW&dtype=u8`` — precompile a specialization.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from dataclasses import replace
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .config import Config, Consistency, NoDuplicates, TransformMode
+
+
+def _cfg_key(cfg: Config) -> tuple:
+    v = cfg.variant
+    vkey = (
+        ("consistency", v.max_lr_diff, v.no_dupes)
+        if isinstance(v, Consistency)
+        else ("nodupes",)
+    )
+    return (
+        cfg.nxcorr_threshold,
+        cfg.subpixel_step,
+        cfg.min_variance,
+        cfg.mode,
+        cfg.precision,
+        vkey,
+    )
+
+
+class Engine:
+    """Thread-safe warm-pipeline registry over one device (or mesh)."""
+
+    def __init__(self, cfg: Config = Config(), *, backend: str = "auto",
+                 mesh=None):
+        self.cfg = cfg
+        self.backend = backend
+        self.mesh = mesh
+        self._lock = threading.Lock()
+        self._compiled: Dict[tuple, bool] = {}
+
+    def _run(self, s0, s1, cfg: Config, corrmap: bool):
+        from . import match
+        from .sharding import match_sharded
+
+        if self.mesh is not None:
+            return match_sharded(
+                s0, s1, cfg, mesh=self.mesh, corrmap=corrmap,
+                backend=self.backend,
+            )
+        return match(s0, s1, cfg, corrmap=corrmap, backend=self.backend)
+
+    def match(self, s0: np.ndarray, s1: np.ndarray,
+              cfg: Optional[Config] = None, *, corrmap: bool = False):
+        """Run a match; first call per specialization compiles (serialized
+        under the engine lock), later calls reuse jit caches."""
+        import jax
+
+        cfg = self.cfg if cfg is None else cfg
+        key = (s0.shape, str(s0.dtype), _cfg_key(cfg), corrmap)
+        with self._lock:
+            out = self._run(s0, s1, cfg, corrmap)
+            out = jax.block_until_ready(out)
+            self._compiled[key] = True
+        if corrmap:
+            return np.asarray(out[0]), np.asarray(out[1])
+        return np.asarray(out)
+
+    def warmup(self, shape: Tuple[int, int, int], dtype: str = "uint8",
+               cfg: Optional[Config] = None, *, corrmap: bool = False):
+        """Precompile the specialization for ``shape``/``dtype`` using a
+        synthetic pair (compilation is shape/dtype-keyed, values don't
+        matter)."""
+        rng = np.random.default_rng(0)
+        hi = np.iinfo(dtype).max
+        s0 = rng.integers(0, hi + 1, shape).astype(dtype)
+        s1 = rng.integers(0, hi + 1, shape).astype(dtype)
+        self.match(s0, s1, cfg, corrmap=corrmap)
+
+    @property
+    def compiled_count(self) -> int:
+        return len(self._compiled)
+
+
+def _cfg_from_params(base: Config, params: Dict[str, list]) -> Config:
+    """Apply CLI-style query-param overrides to ``base`` (same semantics as
+    the reference CLI flags, cli.cpp:137-166)."""
+
+    def one(name, cast):
+        vals = params.get(name)
+        return cast(vals[0]) if vals else None
+
+    cfg = base
+    thr = one("threshold", float)
+    if thr is not None:
+        cfg = replace(cfg, nxcorr_threshold=None if thr <= 0 else thr)
+    step = one("step", float)
+    if step is not None:
+        cfg = replace(cfg, subpixel_step=step)
+    var = one("variance", float)
+    if var is not None:
+        cfg = replace(cfg, min_variance=var)
+    lim = one("limited", lambda s: s not in ("0", "false"))
+    if lim is not None:
+        cfg = replace(
+            cfg, mode=TransformMode.LIMITED if lim else TransformMode.FULL
+        )
+    lr = one("lr_maxdiff", int)
+    nd = one("no_dupes", lambda s: s not in ("0", "false"))
+    if lr is not None:
+        cfg = replace(cfg, variant=Consistency(lr, bool(nd)))
+    elif nd:
+        cfg = replace(cfg, variant=NoDuplicates())
+    return cfg
+
+
+def make_handler(engine: Engine):
+    class Handler(BaseHTTPRequestHandler):
+        # one engine instance shared by all request threads
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "compiled": engine.compiled_count,
+                })
+                return
+            self._json(404, {"error": f"unknown path {url.path}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            params = parse_qs(url.query)
+            try:
+                if url.path == "/warmup":
+                    shape = tuple(
+                        int(x) for x in params["shape"][0].split("x")
+                    )
+                    dtype = {"u8": "uint8", "u16": "uint16"}.get(
+                        params.get("dtype", ["u8"])[0], "uint8"
+                    )
+                    cfg = _cfg_from_params(engine.cfg, params)
+                    engine.warmup(shape, dtype, cfg)
+                    self._json(200, {"compiled": engine.compiled_count})
+                    return
+                if url.path != "/match":
+                    self._json(404, {"error": f"unknown path {url.path}"})
+                    return
+                length = int(self.headers.get("Content-Length", "0"))
+                data = np.load(io.BytesIO(self.rfile.read(length)))
+                s0, s1 = data["stack0"], data["stack1"]
+                cfg = _cfg_from_params(engine.cfg, params)
+                want_corr = params.get("corrmap", ["0"])[0] not in (
+                    "0", "false")
+                out = engine.match(s0, s1, cfg, corrmap=want_corr)
+                buf = io.BytesIO()
+                if want_corr:
+                    np.savez(buf, disparity=out[0], corrmap=out[1])
+                else:
+                    np.savez(buf, disparity=out)
+                self._send(200, buf.getvalue(), "application/npz")
+            except (KeyError, ValueError) as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # engine errors -> 500, keep serving
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8344,
+          *, warmup_shapes=(), ready_event: Optional[threading.Event] = None):
+    """Blocking server loop; compiles ``warmup_shapes`` before serving."""
+    for shape, dtype in warmup_shapes:
+        engine.warmup(shape, dtype)
+    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    if ready_event is not None:
+        ready_event.set()
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()
+
+
+def _parse_warmup(spec: str):
+    shape_s, _, dtype_s = spec.partition(":")
+    shape = tuple(int(x) for x in shape_s.split("x"))
+    if len(shape) != 3:
+        raise ValueError(f"warmup shape must be NxHxW, got {spec!r}")
+    return shape, {"u8": "uint8", "u16": "uint16"}.get(dtype_s or "u8")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="python -m libbicos_tpu.serve",
+        description="Persistent BICOS matching service (warm compiled "
+                    "pipelines, npz-over-HTTP)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8344)
+    p.add_argument("-t", "--threshold", type=float, default=0.5)
+    p.add_argument("-s", "--step", type=float, default=None)
+    p.add_argument("-v", "--variance", type=float, default=None)
+    p.add_argument("--limited", action="store_true")
+    p.add_argument("-m", "--lr-maxdiff", type=int, default=None)
+    p.add_argument("--no-dupes", action="store_true")
+    p.add_argument("--backend", default="auto")
+    p.add_argument("--devices", type=int, default=1,
+                   help="H-band the pipeline over this many devices")
+    p.add_argument("--warmup", action="append", default=[],
+                   metavar="NxHxW[:u8|u16]",
+                   help="precompile these stack shapes before serving "
+                        "(repeatable)")
+    args = p.parse_args(argv)
+
+    variant = (Consistency(args.lr_maxdiff, args.no_dupes)
+               if args.lr_maxdiff is not None
+               else NoDuplicates())
+    cfg = Config(
+        nxcorr_threshold=None if args.threshold <= 0 else args.threshold,
+        subpixel_step=args.step,
+        min_variance=args.variance,
+        mode=(TransformMode.LIMITED if args.limited else TransformMode.FULL),
+        variant=variant,
+    )
+    mesh = None
+    if args.devices > 1:
+        from .sharding import make_mesh
+
+        mesh = make_mesh(args.devices)
+    engine = Engine(cfg, backend=args.backend, mesh=mesh)
+    shapes = [_parse_warmup(s) for s in args.warmup]
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(warmup: {len(shapes)} shapes)", flush=True)
+    serve(engine, args.host, args.port, warmup_shapes=shapes)
+
+
+if __name__ == "__main__":
+    main()

@@ -154,6 +154,38 @@ def match_sharded(
     return disp
 
 
+def match_batched_sharded(
+    stacks0,
+    stacks1,
+    cfg: Config = Config(),
+    *,
+    mesh: Optional[Mesh] = None,
+    corrmap: bool = False,
+    backend: str = "auto",
+):
+    """Throughput / serving layout: ``(batch, n, H, W)`` stereo-pair batches
+    with the batch folded into the row axis (:func:`pipeline.match_batched`)
+    and the combined ``batch * H`` rows H-banded over the mesh
+    (:func:`match_sharded`, zero collectives) — one launch covers the whole
+    batch across every chip. Rows of one pair may land on different chips;
+    that is sound because every pipeline stage is row-independent
+    (epipolar geometry)."""
+    stacks0 = jnp.asarray(stacks0)
+    stacks1 = jnp.asarray(stacks1)
+    if stacks0.ndim != 4 or stacks1.ndim != 4:
+        raise ValueError("batched stacks must have shape (batch, n, H, W)")
+    b, n, h, w = stacks0.shape
+    flat0 = jnp.moveaxis(stacks0, 0, 1).reshape(n, b * h, w)
+    flat1 = jnp.moveaxis(stacks1, 0, 1).reshape(n, b * h, w)
+    out = match_sharded(
+        flat0, flat1, cfg, mesh=mesh, corrmap=corrmap, backend=backend
+    )
+    if corrmap:
+        disp, corr = out
+        return disp.reshape(b, h, w), corr.reshape(b, h, w)
+    return out.reshape(b, h, w)
+
+
 def match_sharded_w(
     stack0,
     stack1,

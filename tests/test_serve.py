@@ -1,0 +1,157 @@
+"""Serving daemon: warm-engine HTTP service (libbicos_tpu/serve.py)."""
+
+import io
+import json
+import socket
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import libbicos_tpu as bicos
+from libbicos_tpu.config import Consistency
+from libbicos_tpu.serve import Engine, serve
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def server():
+    port = _free_port()
+    engine = Engine(
+        bicos.Config(nxcorr_threshold=0.5, min_variance=1.0),
+        backend="xla",
+    )
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve,
+        args=(engine, "127.0.0.1", port),
+        kwargs={"warmup_shapes": [((4, 8, 24), "uint8")],
+                "ready_event": ready},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(120), "server failed to start"
+    assert engine.compiled_count == 1  # warmup compiled before serving
+    return f"http://127.0.0.1:{port}", engine
+
+
+def _post(url: str, body: bytes, ctype: str = "application/npz"):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def _npz(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def _stacks(rng, n=4, h=8, w=24):
+    s0 = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    s1 = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    return s0, s1
+
+
+def test_healthz(server):
+    base, engine = server
+    with urllib.request.urlopen(base + "/healthz") as resp:
+        obj = json.loads(resp.read())
+    assert obj["status"] == "ok"
+    assert obj["compiled"] == engine.compiled_count >= 1
+
+
+def test_match_roundtrip(server, rng):
+    base, _ = server
+    s0, s1 = _stacks(rng)
+    status, body = _post(base + "/match", _npz(stack0=s0, stack1=s1))
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    want = np.asarray(bicos.match(
+        s0, s1,
+        bicos.Config(nxcorr_threshold=0.5, min_variance=1.0),
+        backend="xla",
+    ))
+    np.testing.assert_array_equal(out["disparity"], want)
+
+
+def test_match_param_overrides(server, rng):
+    base, _ = server
+    s0, s1 = _stacks(rng)
+    status, body = _post(
+        base + "/match?threshold=0.4&lr_maxdiff=1&no_dupes=1&corrmap=1",
+        _npz(stack0=s0, stack1=s1),
+    )
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    cfg = bicos.Config(
+        nxcorr_threshold=0.4, min_variance=1.0,
+        variant=Consistency(1, True),
+    )
+    wd, wc = bicos.match(s0, s1, cfg, corrmap=True, backend="xla")
+    np.testing.assert_array_equal(out["disparity"], np.asarray(wd))
+    np.testing.assert_array_equal(out["corrmap"], np.asarray(wc))
+
+
+def test_match_threshold_zero_disables_nxcorr(server, rng):
+    base, _ = server
+    s0, s1 = _stacks(rng)
+    status, body = _post(
+        base + "/match?threshold=0", _npz(stack0=s0, stack1=s1))
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    want = np.asarray(bicos.match(
+        s0, s1, bicos.Config(nxcorr_threshold=None, min_variance=1.0),
+        backend="xla",
+    ))
+    np.testing.assert_array_equal(out["disparity"], want)
+
+
+def test_bad_requests(server, rng):
+    base, _ = server
+    status, body = _post(base + "/match", _npz(stack0=np.zeros((2, 4, 8))))
+    assert status == 400  # missing stack1
+    assert b"error" in body
+    # invalid stacks (n=1 < minimum) -> clean 400, server keeps serving
+    s0 = np.zeros((1, 4, 8), dtype=np.uint8)
+    status, _ = _post(base + "/match", _npz(stack0=s0, stack1=s0))
+    assert status == 400
+    s0, s1 = _stacks(rng)
+    status, _ = _post(base + "/match", _npz(stack0=s0, stack1=s1))
+    assert status == 200
+    status, _ = _post(base + "/nope", b"")
+    assert status == 404
+
+
+def test_warmup_endpoint(server):
+    base, engine = server
+    before = engine.compiled_count
+    status, body = _post(base + "/warmup?shape=4x6x16&dtype=u8", b"")
+    assert status == 200
+    assert json.loads(body)["compiled"] == before + 1
+
+
+def test_engine_sharded_mesh(rng):
+    """Engine with a mesh dispatches through match_sharded."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    from libbicos_tpu.sharding import make_mesh
+
+    cfg = bicos.Config(nxcorr_threshold=0.5)
+    engine = Engine(cfg, backend="xla", mesh=make_mesh(4))
+    s0, s1 = _stacks(rng, 4, 10, 24)
+    got = engine.match(s0, s1)
+    want = np.asarray(bicos.match(s0, s1, cfg, backend="xla"))
+    np.testing.assert_array_equal(got, want)

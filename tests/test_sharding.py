@@ -51,6 +51,25 @@ def test_match_sharded_corrmap(rng, mesh):
     np.testing.assert_array_equal(np.asarray(gc), np.asarray(wc))
 
 
+def test_match_batched_sharded_equals_batched(rng, mesh):
+    from conftest import make_stack_pair
+
+    from libbicos_tpu.sharding import match_batched_sharded
+
+    cfg = Config(nxcorr_threshold=0.5, min_variance=1.0)
+    pairs = [make_stack_pair(rng, 4, 6, 24) for _ in range(3)]
+    b0 = np.stack([p[0] for p in pairs])  # (3, 4, 6, 24): 18 rows over 4 dev
+    b1 = np.stack([p[1] for p in pairs])
+    want = np.asarray(bicos.match_batched(b0, b1, cfg, backend="xla"))
+    gd, gc = match_batched_sharded(
+        b0, b1, cfg, mesh=mesh, corrmap=True, backend="xla"
+    )
+    assert np.asarray(gd).shape == want.shape == (3, 6, 24)
+    np.testing.assert_array_equal(np.asarray(gd), want)
+    _, wc = bicos.match_batched(b0, b1, cfg, corrmap=True, backend="xla")
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(wc))
+
+
 @pytest.mark.parametrize("need_last", [True, False])
 def test_wband_ring_equals_single(rng, mesh, need_last):
     from conftest import make_stack_pair
