@@ -1408,6 +1408,176 @@ def _row_minima_words(
     return cost, first, last
 
 
+def _minima_kernel_band(
+    off_ref,  # SMEM (1,) int32 — global column offset of this right band
+    w0_ref,  # (RB, TILE_I, nw) uint32 — left-band descriptor words
+    w1_ref,  # (RB, BANDPAD, nw) uint32 — right band (the ring payload)
+    outf_ref,  # (RB, NI, TILE_I) f32 — packed s*8192 + col_global
+    outl_ref,  # (RB, NI, TILE_I) f32 — packed s*8192 + (8191 - col_global)
+    b_scratch,  # (RB, BANDPAD, BPAD) bf16 — encoded band
+    *,
+    nbits: int,
+    band: int,
+    bandpad: int,
+    w1_total: int,
+    tile_j: int,
+    need_last: bool,
+):
+    """W-band variant of :func:`_minima_kernel` for the ``ppermute`` ring
+    (``sharding.row_minima_wband``): scans ONE right-descriptor band whose
+    global column offset arrives as a scalar (SMEM) operand, and emits
+    minima packed on GLOBAL column indices so successive ring steps fold
+    with a plain elementwise min (the analogue of the reference's smem row
+    staging ``bicos.cuh:77-140``, here spread over chips). Local tile
+    padding (local col >= ``band``) and ring padding (global col >=
+    ``w1_total``) are penalized out of both reductions; all chunks run
+    masked because the boundary chunk depends on the runtime offset."""
+    i = pl.program_id(1)
+    off = off_ref[0]
+    rb = w0_ref.shape[0]
+    tile_i = w0_ref.shape[1]
+    bpad = b_scratch.shape[2]
+
+    @pl.when(i == 0)
+    def _():
+        def write_seg(k):
+            for r in range(rb):
+                seg = w1_ref[r, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :]
+                b_scratch[r, pl.ds(k * UNPACK_SEG, UNPACK_SEG), :] = (
+                    _encode_b(seg, off + k * UNPACK_SEG, nbits, bpad)
+                )
+
+        _encode_b_segments(b_scratch, bandpad, write_seg)
+
+    nj = bandpad // tile_j
+    for r in range(rb):
+        a_f = _encode_a(w0_ref[r], nbits, bpad, sign=-1)
+        init = jnp.full((tile_i, tile_j), jnp.float32(ACC_INIT),
+                        jnp.float32)
+        accf, accl = init, init
+        for j in range(nj):
+            b_tile = b_scratch[r, pl.ds(j * tile_j, tile_j), :]
+            dotf = jax.lax.dot_general(
+                a_f, b_tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TILE_I, TILE_J) = s*8192 + col_global
+            lcol = j * tile_j + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile_j), 1)
+            gcol = off + lcol
+            pen = (jnp.where(lcol >= band, jnp.float32(PAD_PENALTY), 0.0)
+                   + jnp.where(gcol >= w1_total,
+                               jnp.float32(PAD_PENALTY), 0.0))
+            accf = jnp.minimum(accf, dotf + pen)
+            if need_last:
+                cvec = (jnp.float32(PACK_S - 1)
+                        - 2.0 * gcol.astype(jnp.float32))
+                accl = jnp.minimum(accl, dotf + cvec + pen)
+        outf_ref[r, i, :] = jnp.min(accf, axis=1)
+        outl_ref[r, i, :] = (jnp.min(accl, axis=1) if need_last
+                             else jnp.zeros((tile_i,), jnp.float32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nbits", "w1_total", "need_last", "tile_i", "tile_j", "interpret",
+        "rows",
+    ),
+)
+def row_minima_words_band(
+    words0,
+    words1_band,
+    col_off,
+    *,
+    nbits: int,
+    w1_total: int,
+    need_last: bool,
+    tile_i: int = DEF_TILE_I,
+    tile_j: int = DEF_TILE_J,
+    interpret: bool = False,
+    rows: int = 0,
+):
+    """Packed minima of a left column band against ONE right band at global
+    column offset ``col_off`` (a traced scalar — one compiled kernel serves
+    every ring step).
+
+    Returns RAW f32 packings ``(s*8192 + col_global,
+    s*8192 + (8191 - col_global))`` of shape (H, W0) — fold ring steps with
+    ``jnp.minimum`` and decode once at the end (``cost = floor(p / 8192) +
+    pop(a)``, see ``_row_minima_words``). ``ml`` is None when ``need_last``
+    is False."""
+    h, w0, nw = words0.shape
+    band = words1_band.shape[1]
+    rows = rows or SEARCH_ROWS
+    words0p = _pad_axis(words0, 1, tile_i)
+    words1p = _pad_axis(words1_band, 1, max(tile_j, UNPACK_SEG))
+    rb = max(1, min(rows, h))
+    words0p = _pad_axis(words0p, 0, rb)
+    words1p = _pad_axis(words1p, 0, rb)
+    hpad, w0pad = words0p.shape[:2]
+    bandpad = words1p.shape[1]
+    ni = w0pad // tile_i
+    bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+
+    kernel = functools.partial(
+        _minima_kernel_band,
+        nbits=nbits,
+        band=band,
+        bandpad=bandpad,
+        w1_total=w1_total,
+        tile_j=tile_j,
+        need_last=need_last,
+    )
+    off_arr = jnp.asarray(col_off, jnp.int32).reshape(1)
+    grid = (hpad // rb, ni)
+    mf, ml = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (rb, tile_i, nw),
+                lambda r, i: (r, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rb, bandpad, nw),
+                lambda r, i: (r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), jnp.float32),
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((rb, bandpad, bpad), jnp.bfloat16)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * hpad * w0pad * bandpad * bpad,
+            bytes_accessed=(hpad * (w0pad + bandpad) * nw * 4
+                            + hpad * w0pad * 8),
+            transcendentals=0,
+        ),
+    )(off_arr, words0p, words1p)
+
+    mf = mf.reshape(hpad, w0pad)[:h, :w0]
+    if need_last:
+        ml = ml.reshape(hpad, w0pad)[:h, :w0]
+    else:
+        ml = None
+    return mf, ml
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -193,6 +193,7 @@ def match_sharded_w(
     *,
     mesh: Optional[Mesh] = None,
     corrmap: bool = False,
+    backend: str = "xla",
 ):
     """W-banded multi-chip ``match`` for very wide images: the O(W^2)
     Hamming scan — the dominant cost and memory term — stays fully sharded
@@ -237,13 +238,13 @@ def match_sharded_w(
         bits1 = _descriptor.descriptor_bits(s1_local, cfg.mode)
         # padded left columns produce garbage rows; masked out at the end.
         _, first0, last0 = _ring_minima(
-            bits0, bits1, nodupes, axis_name, ndev, band, w)
+            bits0, bits1, nodupes, axis_name, ndev, band, w, backend)
         if isinstance(variant, NoDuplicates):
             valid = first0 == last0
             disp = col0 - first0
         else:
             _, first1, last1 = _ring_minima(
-                bits1, bits0, nodupes, axis_name, ndev, band, w)
+                bits1, bits0, nodupes, axis_name, ndev, band, w, backend)
             # Reverse results live on the band owning each right column;
             # gather them globally for the cross-band lookup at best_col1.
             f1g = jax.lax.all_gather(
@@ -294,18 +295,70 @@ def match_sharded_w(
     return out
 
 
-def _ring_minima(bits0, bits1, need_last, axis_name, ndev, band, w):
-    """Packed-min ring reduction over right-descriptor bands (in-shard-map
-    version of :func:`row_minima_wband`)."""
+def _ring_minima_packed(bits0, bits1, need_last, axis_name, ndev, band, w,
+                        backend: str = "xla"):
+    """Packed-min ring reduction over right-descriptor bands, callable
+    inside ``shard_map``. Returns ``(mf, ml)`` int32 in the ``cost * PACK_K
+    + col`` packing (``ml`` packs ``cost * PACK_K + (w-1-col)``; zeros when
+    ``need_last`` is False).
+
+    Two engines:
+
+    * ``xla`` — einsum band cost matrix + packed min (:func:`_band_cost`).
+    * ``pallas`` / ``pallas_interpret`` — the Pallas band kernel
+      (``kernels.hamming.row_minima_words_band``): descriptors travel the
+      ring as PACKED uint32 words (8x less ICI payload than the int bit
+      planes the einsum path rotates), each visit is one VMEM-resident MXU
+      scan emitting global-column packings, and the ring fold is a plain
+      elementwise min over the kernel outputs.
+    """
     from .search import PACK_K
 
     h = bits0.shape[0]
     idx = jax.lax.axis_index(axis_name)
+    perm = [((d + 1) % ndev, d) for d in range(ndev)]
+
+    if backend in ("pallas", "pallas_interpret"):
+        from .kernels.hamming import PACK_S, row_minima_words_band
+
+        nbits = bits0.shape[2]
+        words0 = _descriptor.pack_bits(bits0)
+        pop0 = _descriptor.popcounts(bits0)
+        cur0 = _descriptor.pack_bits(bits1)
+        interpret = backend == "pallas_interpret"
+
+        def step(i, carry):
+            mf, ml, cur = carry
+            src = jax.lax.rem(idx + i, ndev)
+            mfs, mls = row_minima_words_band(
+                words0, cur, src * band, nbits=nbits, w1_total=w,
+                need_last=need_last, interpret=interpret,
+            )
+            mf = jnp.minimum(mf, mfs)
+            if need_last:
+                ml = jnp.minimum(ml, mls)
+            nxt = jax.lax.ppermute(cur, axis_name, perm=perm)
+            return mf, ml, nxt
+
+        bigf = jnp.full((h, bits0.shape[1]), jnp.float32(1 << 24))
+        mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (bigf, bigf, cur0))
+        # Re-pack the kernel's s*8192 + col into cost * PACK_K + col so
+        # both engines share one decode (s = ham - pop(a), exact f32 ints).
+        s = jnp.floor(mf / PACK_S)
+        first = (mf - s * PACK_S).astype(jnp.int32)
+        mfo = (s.astype(jnp.int32) + pop0) * PACK_K + first
+        if need_last:
+            sl = jnp.floor(ml / PACK_S)
+            lastc = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
+            mlo = (sl.astype(jnp.int32) + pop0) * PACK_K + (w - 1 - lastc)
+        else:
+            mlo = jnp.zeros_like(mfo)
+        return mfo, mlo
 
     def step(i, carry):
         mf, ml, cur = carry
         src = jax.lax.rem(idx + i, ndev)
-        cost = _band_cost(bits0, cur, "xla")
+        cost = _band_cost(bits0, cur, backend)
         col = src * band + jnp.arange(band, dtype=jnp.int32)[None, None]
         colg = jnp.broadcast_to(col, cost.shape)
         pen = jnp.where(colg >= w, jnp.int32(1 << 26), jnp.int32(0))
@@ -314,12 +367,22 @@ def _ring_minima(bits0, bits1, need_last, axis_name, ndev, band, w):
         if need_last:
             pl_ = cost * PACK_K + (w - 1 - colg) + pen
             ml = jnp.minimum(ml, jnp.min(pl_, axis=2))
-        nxt = jax.lax.ppermute(
-            cur, axis_name, perm=[((d + 1) % ndev, d) for d in range(ndev)])
+        nxt = jax.lax.ppermute(cur, axis_name, perm=perm)
         return mf, ml, nxt
 
     big = jnp.full((h, bits0.shape[1]), jnp.int32(1 << 30))
     mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (big, big, bits1))
+    return mf, (ml if need_last else jnp.zeros_like(mf))
+
+
+def _ring_minima(bits0, bits1, need_last, axis_name, ndev, band, w,
+                 backend: str = "xla"):
+    """Decoded (cost, first, last) ring minima (see
+    :func:`_ring_minima_packed`)."""
+    from .search import PACK_K
+
+    mf, ml = _ring_minima_packed(
+        bits0, bits1, need_last, axis_name, ndev, band, w, backend)
     cost = mf // PACK_K
     first = mf - cost * PACK_K
     last = (w - 1) - (ml - (ml // PACK_K) * PACK_K) if need_last else None
@@ -385,33 +448,8 @@ def row_minima_wband(
 
     def shard_fn(b0, b1):
         # b0: (H, w0/ndev, B) local left band; b1: (H, band1, B) right band.
-        idx = jax.lax.axis_index(axis_name)
-
-        def step(i, carry):
-            mf, ml, cur = carry
-            # Global column offset of the band currently held: the band that
-            # started on chip (idx + i) mod ndev.
-            src = jax.lax.rem(idx + i, ndev)
-            cost = _band_cost(b0, cur, backend)
-            col = src * band1 + jnp.arange(band1, dtype=jnp.int32)[None, None]
-            colg = jnp.broadcast_to(col, cost.shape)
-            # Mask padded right columns out of the running minima.
-            pen = jnp.where(colg >= w1, jnp.int32(1 << 26), jnp.int32(0))
-            pf = cost * PACK_K + colg + pen
-            mf = jnp.minimum(mf, jnp.min(pf, axis=2))
-            if need_last:
-                pl_ = cost * PACK_K + (w1 - 1 - colg) + pen
-                ml = jnp.minimum(ml, jnp.min(pl_, axis=2))
-            nxt = jax.lax.ppermute(
-                cur,
-                axis_name,
-                perm=[((d + 1) % ndev, d) for d in range(ndev)],
-            )
-            return mf, ml, nxt
-
-        big = jnp.full((h, b0.shape[1]), jnp.int32(1 << 30))
-        mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (big, big, b1))
-        return mf, ml
+        return _ring_minima_packed(
+            b0, b1, need_last, axis_name, ndev, band1, w1, backend)
 
     mf, ml = shard_map(
         shard_fn,
@@ -434,7 +472,8 @@ def row_minima_wband(
 
 def _band_cost(bits0, bits1, backend: str):
     """(H, W0b, B) x (H, W1b, B) -> (H, W0b, W1b) int32 Hamming cost."""
-    del backend  # XLA einsum path; a Pallas band kernel slots in here later.
+    del backend  # plain XLA einsum; the Pallas engine lives in
+    # _ring_minima_packed (kernels.hamming.row_minima_words_band).
     a = bits0.astype(jnp.bfloat16)
     bm = bits1.astype(jnp.bfloat16)
     dot = jnp.einsum(

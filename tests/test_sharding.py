@@ -7,7 +7,9 @@ import pytest
 import libbicos_tpu as bicos
 from libbicos_tpu import Config, Consistency, NoDuplicates, TransformMode
 from libbicos_tpu import descriptor, search
-from libbicos_tpu.sharding import make_mesh, match_sharded, row_minima_wband
+from libbicos_tpu.sharding import (
+    make_mesh, match_sharded, match_sharded_w, row_minima_wband,
+)
 
 
 @pytest.fixture(scope="module")
@@ -70,14 +72,16 @@ def test_match_batched_sharded_equals_batched(rng, mesh):
     np.testing.assert_array_equal(np.asarray(gc), np.asarray(wc))
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
 @pytest.mark.parametrize("need_last", [True, False])
-def test_wband_ring_equals_single(rng, mesh, need_last):
+def test_wband_ring_equals_single(rng, mesh, need_last, backend):
     from conftest import make_stack_pair
 
     s0, s1, _ = make_stack_pair(rng, 6, 3, 42)  # W=42: uneven over 4 devices
     b0 = descriptor.descriptor_bits(s0, TransformMode.LIMITED)
     b1 = descriptor.descriptor_bits(s1, TransformMode.LIMITED)
-    cw, fw, lw = row_minima_wband(b0, b1, need_last, mesh=mesh)
+    cw, fw, lw = row_minima_wband(b0, b1, need_last, mesh=mesh,
+                                  backend=backend)
     c1, f1, l1 = search.row_minima_xla(b0, b1, need_last)
     np.testing.assert_array_equal(np.asarray(cw), np.asarray(c1))
     np.testing.assert_array_equal(np.asarray(fw), np.asarray(f1))
@@ -85,17 +89,33 @@ def test_wband_ring_equals_single(rng, mesh, need_last):
         np.testing.assert_array_equal(np.asarray(lw), np.asarray(l1))
 
 
-def test_wband_duplicate_ties_across_bands(rng, mesh):
+@pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
+def test_wband_duplicate_ties_across_bands(rng, mesh, backend):
     """A duplicate minimum split across two column bands must still be seen
     as a tie (first != last) after the ring reduction."""
     b = rng.random((1, 40, 30)) < 0.5
     b1 = b.copy()
     b1[:, 35] = b1[:, 2]  # duplicate far apart -> lives on different bands
     bits0 = b[:, 2:3, :]  # single query equal to the duplicated descriptor
-    cw, fw, lw = row_minima_wband(bits0, b1, True, mesh=mesh)
+    cw, fw, lw = row_minima_wband(bits0, b1, True, mesh=mesh,
+                                  backend=backend)
     assert int(cw[0, 0]) == 0
     assert int(fw[0, 0]) == 2
     assert int(lw[0, 0]) == 35
+
+
+def test_match_sharded_w_pallas_ring(rng, mesh):
+    """Full W-banded pipeline with the Pallas band-kernel ring engine."""
+    from conftest import make_stack_pair
+
+    s0, s1, _ = make_stack_pair(rng, 5, 6, 41)
+    for cfg in (Config(nxcorr_threshold=0.5, min_variance=1.0),
+                Config(nxcorr_threshold=0.7, subpixel_step=0.25,
+                       variant=Consistency(max_lr_diff=1, no_dupes=True))):
+        ref = np.asarray(bicos.match(s0, s1, cfg, backend="xla"))
+        got = np.asarray(match_sharded_w(
+            s0, s1, cfg, mesh=mesh, backend="pallas_interpret"))
+        np.testing.assert_array_equal(got, ref)
 
 
 @pytest.mark.parametrize("cfg", [
