@@ -180,6 +180,7 @@ def main(argv=None) -> int:
 
             out = match_sharded_w(
                 l_dev, r_dev, cfg, mesh=mesh, corrmap=args.corrmap,
+                backend=args.backend,
             )
         else:
             out = match_sharded(

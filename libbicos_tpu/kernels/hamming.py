@@ -1563,7 +1563,8 @@ def row_minima_words_band(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * hpad * w0pad * bandpad * bpad,
+            flops=(2 * hpad * w0pad * bandpad * bpad
+                   * (2 if need_last else 1)),
             bytes_accessed=(hpad * (w0pad + bandpad) * nw * 4
                             + hpad * w0pad * 8),
             transcendentals=0,

@@ -197,15 +197,28 @@ def match_batched(
     kernel launch instead of ``vmap``, which keeps the Pallas search kernel's
     tiles full.
     """
-    stacks0 = jnp.asarray(stacks0)
-    stacks1 = jnp.asarray(stacks1)
-    if stacks0.ndim != 4:
-        raise ValueError("batched stacks must have shape (batch, n, H, W)")
-    b, n, h, w = stacks0.shape
-    flat0 = jnp.moveaxis(stacks0, 0, 1).reshape(n, b * h, w)
-    flat1 = jnp.moveaxis(stacks1, 0, 1).reshape(n, b * h, w)
+    flat0, flat1, (b, h, w) = _fold_batch(stacks0, stacks1)
     out = match(flat0, flat1, cfg, corrmap=corrmap, backend=backend)
     if corrmap:
         disp, corr = out
         return disp.reshape(b, h, w), corr.reshape(b, h, w)
     return out.reshape(b, h, w)
+
+
+def _fold_batch(stacks0, stacks1):
+    """Fold ``(batch, n, H, W)`` stereo-pair batches into the row axis
+    (rows are independent, so one ``(n, batch*H, W)`` launch covers the
+    batch). Shapes must match exactly — a coincidental ``batch*H`` product
+    match would silently pair rows of different images."""
+    stacks0 = jnp.asarray(stacks0)
+    stacks1 = jnp.asarray(stacks1)
+    if stacks0.ndim != 4 or stacks1.ndim != 4:
+        raise ValueError("batched stacks must have shape (batch, n, H, W)")
+    if stacks0.shape != stacks1.shape:
+        raise ValueError(
+            f"batched stacks must have identical shapes, got "
+            f"{stacks0.shape} vs {stacks1.shape}")
+    b, n, h, w = stacks0.shape
+    flat0 = jnp.moveaxis(stacks0, 0, 1).reshape(n, b * h, w)
+    flat1 = jnp.moveaxis(stacks1, 0, 1).reshape(n, b * h, w)
+    return flat0, flat1, (b, h, w)

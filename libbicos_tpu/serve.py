@@ -201,9 +201,10 @@ def make_handler(engine: Engine):
                     shape = tuple(
                         int(x) for x in params["shape"][0].split("x")
                     )
-                    dtype = {"u8": "uint8", "u16": "uint16"}.get(
-                        params.get("dtype", ["u8"])[0], "uint8"
-                    )
+                    dtype_s = params.get("dtype", ["u8"])[0]
+                    if dtype_s not in _DTYPES:
+                        raise ValueError(f"unknown dtype {dtype_s!r}")
+                    dtype = _DTYPES[dtype_s]
                     cfg = _cfg_from_params(engine.cfg, params)
                     engine.warmup(shape, dtype, cfg)
                     self._json(200, {"compiled": engine.compiled_count})
@@ -246,12 +247,20 @@ def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8344,
         httpd.server_close()
 
 
+_DTYPES = {"u8": "uint8", "uint8": "uint8", "u16": "uint16",
+           "uint16": "uint16"}
+
+
 def _parse_warmup(spec: str):
     shape_s, _, dtype_s = spec.partition(":")
     shape = tuple(int(x) for x in shape_s.split("x"))
     if len(shape) != 3:
         raise ValueError(f"warmup shape must be NxHxW, got {spec!r}")
-    return shape, {"u8": "uint8", "u16": "uint16"}.get(dtype_s or "u8")
+    dtype = _DTYPES.get(dtype_s or "u8")
+    if dtype is None:
+        raise ValueError(
+            f"warmup dtype must be one of {sorted(_DTYPES)}, got {spec!r}")
+    return shape, dtype
 
 
 def main(argv=None):

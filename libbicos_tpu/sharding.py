@@ -170,13 +170,9 @@ def match_batched_sharded(
     batch across every chip. Rows of one pair may land on different chips;
     that is sound because every pipeline stage is row-independent
     (epipolar geometry)."""
-    stacks0 = jnp.asarray(stacks0)
-    stacks1 = jnp.asarray(stacks1)
-    if stacks0.ndim != 4 or stacks1.ndim != 4:
-        raise ValueError("batched stacks must have shape (batch, n, H, W)")
-    b, n, h, w = stacks0.shape
-    flat0 = jnp.moveaxis(stacks0, 0, 1).reshape(n, b * h, w)
-    flat1 = jnp.moveaxis(stacks1, 0, 1).reshape(n, b * h, w)
+    from .pipeline import _fold_batch
+
+    flat0, flat1, (b, h, w) = _fold_batch(stacks0, stacks1)
     out = match_sharded(
         flat0, flat1, cfg, mesh=mesh, corrmap=corrmap, backend=backend
     )
@@ -193,7 +189,7 @@ def match_sharded_w(
     *,
     mesh: Optional[Mesh] = None,
     corrmap: bool = False,
-    backend: str = "xla",
+    backend: str = "auto",
 ):
     """W-banded multi-chip ``match`` for very wide images: the O(W^2)
     Hamming scan — the dominant cost and memory term — stays fully sharded
@@ -209,6 +205,7 @@ def match_sharded_w(
     from . import agree as _agree
     from .config import NoDuplicates, Consistency, Precision
 
+    backend = _search.resolve_backend(backend)
     if mesh is None:
         mesh = make_mesh()
     (axis_name,) = mesh.axis_names
@@ -317,6 +314,16 @@ def _ring_minima_packed(bits0, bits1, need_last, axis_name, ndev, band, w,
     h = bits0.shape[0]
     idx = jax.lax.axis_index(axis_name)
     perm = [((d + 1) % ndev, d) for d in range(ndev)]
+
+    if backend in ("pallas", "pallas_interpret"):
+        from .kernels.hamming import PACK_S
+
+        if w >= PACK_S:
+            # The band kernel packs s * 8192 + col_global; wider rows would
+            # alias columns into the cost field (the einsum engine packs
+            # into PACK_K = 32768 and keeps working) — same fallback rule
+            # as search.search_words for the single-chip kernels.
+            backend = "xla"
 
     if backend in ("pallas", "pallas_interpret"):
         from .kernels.hamming import PACK_S, row_minima_words_band

@@ -141,6 +141,24 @@ def test_warmup_endpoint(server):
     assert json.loads(body)["compiled"] == before + 1
 
 
+def test_parse_warmup_validates():
+    from libbicos_tpu.serve import _parse_warmup
+
+    assert _parse_warmup("4x8x24") == ((4, 8, 24), "uint8")
+    assert _parse_warmup("4x8x24:uint16") == ((4, 8, 24), "uint16")
+    with pytest.raises(ValueError, match="dtype"):
+        _parse_warmup("4x8x24:float32")
+    with pytest.raises(ValueError, match="NxHxW"):
+        _parse_warmup("4x8")
+
+
+def test_warmup_endpoint_rejects_bad_dtype(server):
+    base, _ = server
+    status, body = _post(base + "/warmup?shape=4x6x16&dtype=f32", b"")
+    assert status == 400
+    assert b"dtype" in body
+
+
 def test_engine_sharded_mesh(rng):
     """Engine with a mesh dispatches through match_sharded."""
     import jax

@@ -166,6 +166,32 @@ def test_sharded_surfaces_validate_like_match(rng, mesh):
                corrmap=True)
 
 
+def test_wband_pallas_falls_back_beyond_pack_s(rng, mesh):
+    """The Pallas band kernel packs s*8192 + col_global; for W >= 8192 the
+    ring must fall back to the einsum engine instead of silently aliasing
+    columns into the cost field."""
+    h, w, b = 1, 8300, 32  # 32 bits: spurious zero-cost collisions ~2^-32
+    bits1 = rng.random((h, w, b)) < 0.5
+    bits0 = bits1[:, 8260:8261, :].copy()  # planted zero-cost match @ 8260
+    cw, fw, lw = row_minima_wband(bits0, bits1, True, mesh=mesh,
+                                  backend="pallas_interpret")
+    assert int(cw[0, 0]) == 0
+    assert int(fw[0, 0]) == 8260
+
+
+def test_match_batched_sharded_rejects_shape_mismatch(rng, mesh):
+    """(2,n,6,W) vs (4,n,3,W) have the same batch*H product; folding must
+    reject the mismatch instead of silently pairing rows across images."""
+    from libbicos_tpu.sharding import match_batched_sharded
+
+    a = rng.integers(0, 256, (2, 4, 6, 24)).astype(np.uint8)
+    c = rng.integers(0, 256, (4, 4, 3, 24)).astype(np.uint8)
+    with pytest.raises(ValueError, match="identical shapes"):
+        match_batched_sharded(a, c, Config(nxcorr_threshold=None), mesh=mesh)
+    with pytest.raises(ValueError, match="identical shapes"):
+        bicos.match_batched(a, c, Config(nxcorr_threshold=None))
+
+
 def test_sharded_w_rejects_ultrawide(mesh):
     """match_sharded_w packs cost * PACK_K + col; wider images would alias
     into the cost field, so the guard must fire before any compute."""
