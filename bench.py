@@ -35,6 +35,13 @@ def _timeit(fn, reps):
     return before the lazy runtime has actually run the program)."""
     import jax
 
+    # One untimed warm rep on a PERTURBED input first: the very first
+    # execution on a fresh buffer pays one-off lazy-runtime setup (~1 s
+    # observed) that the compile warm-up on the original buffer does not
+    # absorb.
+    out = fn(reps + 1)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(leaf[(0,) * leaf.ndim])
     times = []
     for k in range(1, reps + 1):
         t0 = time.perf_counter()

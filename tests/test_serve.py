@@ -159,6 +159,32 @@ def test_warmup_endpoint_rejects_bad_dtype(server):
     assert b"dtype" in body
 
 
+def test_client_roundtrip(server, rng):
+    from libbicos_tpu.client import BicosClient, ServerError
+
+    base, engine = server
+    c = BicosClient(base, timeout=60)
+    assert c.healthz()["status"] == "ok"
+    s0, s1 = _stacks(rng)
+    disp = c.match(s0, s1)
+    want = np.asarray(bicos.match(
+        s0, s1, bicos.Config(nxcorr_threshold=0.5, min_variance=1.0),
+        backend="xla"))
+    np.testing.assert_array_equal(disp, want)
+    # overrides + corrmap path
+    d2, corr = c.match(s0, s1, corrmap=True, threshold=0.4)
+    wd, wc = bicos.match(
+        s0, s1, bicos.Config(nxcorr_threshold=0.4, min_variance=1.0),
+        corrmap=True, backend="xla")
+    np.testing.assert_array_equal(d2, np.asarray(wd))
+    np.testing.assert_array_equal(corr, np.asarray(wc))
+    # warmup + clean server errors
+    before = engine.compiled_count
+    assert c.warmup((4, 5, 16)) == before + 1
+    with pytest.raises(ServerError, match="dtype"):
+        c.warmup((4, 5, 16), dtype="f64")
+
+
 def test_engine_sharded_mesh(rng):
     """Engine with a mesh dispatches through match_sharded."""
     import jax
