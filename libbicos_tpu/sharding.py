@@ -20,7 +20,7 @@ CUDA grid). On TPU the pipeline scales over a ``jax.sharding.Mesh``:
 
 Multi-host: build the mesh from ``jax.devices()`` after
 ``jax.distributed.initialize``; per-host sharded image loading lives in
-:mod:`.io` (``load_stack_sharded``).
+:mod:`.io` (``load_multihost_stack`` / ``distribute_stack``).
 """
 
 from __future__ import annotations
