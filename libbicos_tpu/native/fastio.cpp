@@ -32,7 +32,13 @@ int bicos_png_probe(const char* path, int* width, int* height, int* bitdepth) {
         return -1;
     png_structp png =
         png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-    png_infop info = png_create_info_struct(png);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info) {  // allocation failure: png_jmpbuf(NULL) would crash
+        if (png)
+            png_destroy_read_struct(&png, &info, nullptr);
+        fclose(fp);
+        return -2;
+    }
     if (setjmp(png_jmpbuf(png))) {
         png_destroy_read_struct(&png, &info, nullptr);
         fclose(fp);
@@ -58,7 +64,13 @@ static int decode_one(const char* path, uint8_t* out, int expect_w,
         return -1;
     png_structp png =
         png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-    png_infop info = png_create_info_struct(png);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info) {  // allocation failure: png_jmpbuf(NULL) would crash
+        if (png)
+            png_destroy_read_struct(&png, &info, nullptr);
+        fclose(fp);
+        return -2;
+    }
     if (setjmp(png_jmpbuf(png))) {
         png_destroy_read_struct(&png, &info, nullptr);
         fclose(fp);
