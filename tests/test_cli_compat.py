@@ -158,3 +158,28 @@ def test_cli_dump_descriptors(tmp_path, rng):
     data = np.load(npz)
     want = np.asarray(descriptor.descriptor_words(s0, TransformMode.LIMITED))
     np.testing.assert_array_equal(data["words0"], want)
+
+
+@pytest.mark.parametrize("shard_axis", ["rows", "cols"])
+def test_cli_sharded_matches_unsharded(tmp_path, rng, shard_axis):
+    """--devices N (both H- and W-banding) must reproduce the single-device
+    CLI output exactly (TPU-extension flags over the reference surface)."""
+    cv2 = pytest.importorskip("cv2")
+    from libbicos_tpu.cli import main
+    from libbicos_tpu.io import synthetic_stack_pair
+
+    s0, s1, _ = synthetic_stack_pair(5, 8, 24, seed=7)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(5):
+        cv2.imwrite(str(d / f"{i}_left.png"), s0[i])
+        cv2.imwrite(str(d / f"{i}_right.png"), s1[i])
+    base = [str(d), "-t", "0.5", "--limited", "--backend", "xla"]
+    ref = tmp_path / "ref.png"
+    assert main(base + ["-o", str(ref)]) == 0
+    out = tmp_path / "sharded.png"
+    assert main(base + ["-o", str(out), "--devices", "2",
+                        "--shard-axis", shard_axis]) == 0
+    a = cv2.imread(str(tmp_path / "ref.tiff"), cv2.IMREAD_ANYDEPTH)
+    b = cv2.imread(str(tmp_path / "sharded.tiff"), cv2.IMREAD_ANYDEPTH)
+    np.testing.assert_array_equal(a, b)
