@@ -14,7 +14,9 @@ not vendored, data/.MISSING_LARGE_BLOBS). Baseline: ~44 ms on an RTX 4090.
 Extra per-stage numbers go to stderr; the stdout contract stays one line.
 
 Env overrides: BICOS_BENCH_N, BICOS_BENCH_H, BICOS_BENCH_W,
-BICOS_BENCH_REPS, BICOS_BENCH_BACKEND, BICOS_BENCH_MODE (headline|search).
+BICOS_BENCH_REPS, BICOS_BENCH_BACKEND, BICOS_BENCH_MODE (headline|search),
+BICOS_BENCH_PLATFORM (e.g. "cpu" — pins jax_platforms before backend init;
+the JAX_PLATFORMS env var alone is overridden by site hooks here).
 """
 
 import json
@@ -61,6 +63,11 @@ def main():
     mode = os.environ.get("BICOS_BENCH_MODE", "headline")
 
     import jax
+
+    platform = os.environ.get("BICOS_BENCH_PLATFORM")
+    if platform:
+        # Must precede any backend use; site hooks override JAX_PLATFORMS.
+        jax.config.update("jax_platforms", platform)
 
     # Persistent compilation cache: repeat bench runs skip the multi-minute
     # first compile (harmless where the backend ignores it).
