@@ -4,9 +4,20 @@ match it, and export all the artifacts the reference CLI produces.
 Run: python examples/quickstart.py [outdir]
 """
 
+import os
 import sys
 
 import numpy as np
+
+import jax
+
+# Honor JAX_PLATFORMS=cpu even where site hooks force a TPU platform via
+# jax.config (which overrides the env var); must run before backend init.
+try:
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
+        jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    pass
 
 import libbicos_tpu as bicos
 from libbicos_tpu import io as bio

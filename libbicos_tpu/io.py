@@ -11,12 +11,12 @@ TPU-native equivalent of the reference's I/O utilities
 * :func:`save_image` — colorized PNG (TURBO, invalid masked black) *and* raw
   float TIFF side by side (fileutils.cpp:30-58).
 * :func:`save_pointcloud` — ascii ``.xyz``, skipping invalid / non-finite /
-  non-positive-Z points (fileutils.hpp:43-89).
+  negative-Z points (fileutils.hpp:43-89).
 * :func:`reproject_image_to_3d` — the ``cv::reprojectImageTo3D`` step of the
   CLI (cli.cpp:228-250) as a vectorized NumPy op.
-* :func:`load_stack_sharded` — multi-host loading: each process reads only
-  the rows it owns and assembles a global ``jax.Array`` (no reference
-  analogue; the TPU-native scale-out path).
+* :func:`load_multihost_stack` / :func:`distribute_stack` — multi-host
+  loading: each process materializes only the row bands its devices own
+  (no reference analogue; the TPU-native scale-out path).
 
 cv2 (OpenCV Python) is used for image codecs exactly where the reference used
 OpenCV's imgcodecs; everything else is NumPy.
@@ -174,7 +174,10 @@ def save_image(image: np.ndarray, outfile, colormap: str = "turbo") -> None:
         if cv2.imwrite(str(png), colorized):
             print(f"Saved colorized disparity to\t\t{png}")
         tiff = outfile.with_suffix(".tiff")
-        if cv2.imwrite(str(tiff), vals):
+        # The reference writes the image's own dtype to TIFF
+        # (fileutils.cpp:53): int16 disparity stays int16, floats stay
+        # float. (Its stdout label says "floating-point" either way.)
+        if cv2.imwrite(str(tiff), image if image.dtype == np.int16 else vals):
             print(f"Saved floating-point disparity to\t{tiff}")
     else:  # pragma: no cover
         import imageio.v3 as iio
@@ -221,8 +224,9 @@ def save_pointcloud(
     outfile,
     allow_negative_z: bool = False,
 ) -> int:
-    """ASCII ``.xyz`` export, skipping invalid/non-finite/non-positive-Z
-    points (fileutils.hpp:43-89). Returns the number of points written."""
+    """ASCII ``.xyz`` export, skipping invalid / non-finite / negative-Z
+    points (z == 0 kept, fileutils.hpp:74). Returns the number of points
+    written."""
     points = np.asarray(points).reshape(-1, 3)
     disp = np.asarray(disparity).reshape(-1)
     outfile = Path(outfile).with_suffix(".xyz")
@@ -234,14 +238,20 @@ def save_pointcloud(
         ok = ~_invalid_mask(disp)
         ok &= np.isfinite(points).all(axis=1)
         if not allow_negative_z:
-            ok &= points[:, 2] > 0
+            ok &= points[:, 2] >= 0  # z < 0 skipped; z == 0 kept (reference)
         kept = points[ok]
         with open(outfile, "w") as f:
             for x, y, z in kept:
                 f.write(f"{x} {y} {z}\n")
         n = int(kept.shape[0])
     skipped = int(disp.size - n)
-    print(f"Saved pointcloud to\t{outfile} ({skipped} points skipped)")
+    # Reference wording (fileutils.hpp:85) + a skip summary like its
+    # stderr counters (fileutils.hpp:86-88).
+    print(f"Saved pointcloud in ascii-format to\t{outfile}")
+    if skipped:
+        import sys
+
+        print(f"Skipped {skipped} points", file=sys.stderr)
     return n
 
 

@@ -164,8 +164,9 @@ int bicos_decode_stack(const char** paths, int n, int width, int height,
 
 // Fast ascii .xyz pointcloud writer (fileutils.hpp:43-89 semantics): skips
 // points whose disparity is invalid (NaN for float input; the caller already
-// folded int16 -32768 to NaN), non-finite coordinates, and z <= 0 unless
-// allow_negative_z. Returns number of points written, or -1 on IO error.
+// folded int16 -32768 to NaN), non-finite coordinates, and strictly negative
+// z unless allow_negative_z (z == 0 is kept, matching the reference's
+// `z < 0.0f` test). Returns number of points written, or -1 on IO error.
 long bicos_write_xyz(const char* path, const float* points /* (N,3) */,
                      const float* disp /* (N,) */, long n,
                      int allow_negative_z) {
@@ -186,7 +187,7 @@ long bicos_write_xyz(const char* path, const float* points /* (N,3) */,
             continue;
         if (x - x != 0.0f || y - y != 0.0f || z - z != 0.0f)
             continue;  // +-inf
-        if (!allow_negative_z && !(z > 0))
+        if (!allow_negative_z && z < 0.0f)
             continue;
         int len = snprintf(line, sizeof line, "%g %g %g\n", x, y, z);
         fwrite(line, 1, (size_t)len, fp);
