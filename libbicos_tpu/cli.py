@@ -139,8 +139,24 @@ def config_from_args(args) -> Config:
     )
 
 
+# License banner printed like the reference CLI (cli.cpp:49-53,91); this
+# project is an independent TPU-native implementation, also LGPL (COPYING).
+LICENSE_HEADER = (
+    "libbicos-tpu  Copyright (C) 2026\n"
+    "This program is free software, and you are welcome to redistribute\n"
+    "it under the conditions of the GNU LGPL-3.0-or-later license.\n"
+)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    print(LICENSE_HEADER)
+    if not sys.stdout.isatty():
+        # Reference parity (cli.cpp:92-93): the CLI output format is not a
+        # stable machine interface.
+        print("Danger: bicos-cli does not have a stable CLI interface",
+              file=sys.stderr)
 
     import jax
     import jax.numpy as jnp

@@ -183,3 +183,15 @@ def test_cli_sharded_matches_unsharded(tmp_path, rng, shard_axis):
     a = cv2.imread(str(tmp_path / "ref.tiff"), cv2.IMREAD_ANYDEPTH)
     b = cv2.imread(str(tmp_path / "sharded.tiff"), cv2.IMREAD_ANYDEPTH)
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_prints_license_banner(capsys):
+    """The reference CLI always prints its LGPL banner first
+    (cli.cpp:49-53,91); ours does the same before touching the inputs."""
+    from libbicos_tpu.cli import LICENSE_HEADER, main
+
+    with pytest.raises((FileNotFoundError, NotADirectoryError)):
+        main(["/nonexistent-bicos-folder"])
+    out = capsys.readouterr()
+    assert LICENSE_HEADER in out.out
+    assert "stable CLI interface" in out.err
