@@ -82,6 +82,13 @@ def test_save_image_int16_sentinel(tmp_path):
     png = cv2.imread(str(tmp_path / "d.png"))
     assert (png[0, 0] == 0).all()
     assert (png[1, 1] != 0).any()
+    # The TIFF keeps the disparity's own dtype like the reference
+    # (fileutils.cpp:53 writes the raw image): int16 with the -32768
+    # sentinel intact.
+    tiff = cv2.imread(str(tmp_path / "d.tiff"),
+                      cv2.IMREAD_ANYDEPTH | cv2.IMREAD_GRAYSCALE)
+    assert tiff.dtype == np.int16
+    assert tiff[0, 0] == -32768 and tiff[1, 1] == 7
 
 
 def test_pointcloud_roundtrip(tmp_path):
