@@ -69,6 +69,23 @@ def main():
         # Must precede any backend use; site hooks override JAX_PLATFORMS.
         jax.config.update("jax_platforms", platform)
 
+    # Backend-init watchdog: when the TPU remote-compile tunnel is down,
+    # the first device query hangs indefinitely (observed 2026-08-18) —
+    # fail loudly instead so the caller sees an error, not a stuck process.
+    import threading
+
+    init_timeout = float(os.environ.get("BICOS_BENCH_INIT_TIMEOUT", "300"))
+
+    def _die():
+        print("bench: backend initialization timed out "
+              f"after {init_timeout:.0f}s (TPU tunnel down?)",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    watchdog = threading.Timer(init_timeout, _die)
+    watchdog.daemon = True
+    watchdog.start()
+
     # Persistent compilation cache: repeat bench runs skip the multi-minute
     # first compile (harmless where the backend ignores it).
     try:
@@ -87,6 +104,7 @@ def main():
     from libbicos_tpu.io import synthetic_stack_pair
 
     dev = jax.devices()[0]
+    watchdog.cancel()  # backend is up; compiles may take as long as needed
     print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
 
     s0, s1, _ = synthetic_stack_pair(n, h, w, dtype=np.uint8)
