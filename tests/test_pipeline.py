@@ -220,3 +220,55 @@ def test_fuzz_random_configs():
             both = ~(np.isnan(got_d) | np.isnan(want_d))
             np.testing.assert_allclose(
                 got_d[both], want_d[both], atol=step + 1e-6, err_msg=ctx)
+
+
+def test_fuzz_random_configs_pallas():
+    """Same randomized draw protocol through the PALLAS pipeline (interpret
+    mode): the kernel path must agree with the oracle across the config
+    matrix, not just on the hand-picked kernel tests."""
+    fuzz = np.random.default_rng(0xB1C05)
+    for trial in range(4):
+        mode = (bicos.TransformMode.FULL if fuzz.integers(2)
+                else bicos.TransformMode.LIMITED)
+        n = int(fuzz.integers(4, 8 if mode == bicos.TransformMode.FULL
+                              else 12))
+        h = int(fuzz.integers(3, 6))
+        w = int(fuzz.integers(10, 17))
+        dtype = np.uint16 if fuzz.integers(4) == 0 else np.uint8
+        threshold = (None if fuzz.integers(3) == 0
+                     else float(fuzz.uniform(0.2, 0.9)))
+        step = (0.25 if threshold is not None and fuzz.integers(2) else None)
+        if fuzz.integers(2):
+            variant = bicos.Consistency(
+                max_lr_diff=int(fuzz.integers(1, 3)),
+                no_dupes=bool(fuzz.integers(2)),
+            )
+        else:
+            variant = bicos.NoDuplicates()
+        cfg = bicos.Config(
+            nxcorr_threshold=threshold, subpixel_step=step,
+            min_variance=(1.0 if threshold is not None else None),
+            mode=mode, variant=variant,
+        )
+        s0, s1, _ = make_stack_pair(fuzz, n, h, w, dtype)
+        ctx = f"trial={trial} cfg={cfg} n={n} {h}x{w} {dtype.__name__}"
+        want_d, want_c = oracle.match(s0, s1, cfg)
+        if threshold is None:
+            got_d = bicos.match(s0, s1, cfg, backend="pallas_interpret")
+            np.testing.assert_array_equal(np.asarray(got_d), want_d, ctx)
+            continue
+        got_d, got_c = bicos.match(
+            s0, s1, cfg, corrmap=True, backend="pallas_interpret")
+        got_d, got_c = np.asarray(got_d), np.asarray(got_c)
+        np.testing.assert_allclose(
+            got_c, want_c, rtol=3e-5, atol=3e-5, equal_nan=True, err_msg=ctx)
+        inv_w = np.isnan(want_d) if want_d.dtype.kind == "f" else (
+            want_d == -32768)
+        inv_g = np.isnan(got_d) if got_d.dtype.kind == "f" else (
+            got_d == -32768)
+        np.testing.assert_array_equal(inv_g, inv_w, ctx)
+        if want_d.dtype.kind == "f":
+            np.testing.assert_allclose(
+                got_d[~inv_g], want_d[~inv_w], atol=1e-5, err_msg=ctx)
+        else:
+            np.testing.assert_array_equal(got_d, want_d, ctx)
