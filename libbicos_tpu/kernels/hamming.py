@@ -72,7 +72,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# packed = s * PACK_S + col; exact in f32 for widths < 8192.
+# packed = s * pack_s + col; exact in f32 for widths < pack_s. The WORDS
+# kernels accept pack_s = PACK_S (default) or 2*PACK_S: at 16384 every
+# packed value still stays an exact f32 integer (|s| <= 256 bits =>
+# |s|*16384 <= 2^22; + col < 2^22 + 2^14; + the 2^23 pad penalty < 2^24),
+# and the col split 256*(col>>8) + (col&255) keeps both factors bf16-exact
+# (col>>8 < 64). Padded columns encode zero bits, so their packed value is
+# col + penalty >= 2^23 — always above any real candidate (<= 2^22 + 2^14).
+# The fused *_stack kernels and the band ring stay at the 8192 packing.
 PACK_S = 8192
 # Penalty magnitude for padded columns in the peeled last chunk.
 PAD_PENALTY = float(1 << 23)
@@ -283,13 +290,14 @@ def _encode_a_bf16_stack(s_tile, cxb, cyb, nbits: int, u16: bool,
     return pm.astype(jnp.bfloat16)
 
 
-def _encode_a(words_tile, nbits: int, bpad: int, sign: int):
+def _encode_a(words_tile, nbits: int, bpad: int, sign: int, shift: int = 13):
     """Query-side encoding: (T, nw) uint32 -> (T, bpad) bf16.
 
-    ``sign=-1``: bit -> -8192, no bit -> +8192 (emits packed = s*8192 + col).
-    ``sign=+1``: bit -> +8192, no bit -> -8192 (emits col - s*8192).
-    Columns [nbits, nbits+1] get the col-split coefficients [256, 1]; any
-    remaining columns are zero.
+    ``sign=-1``: bit -> -pack_s, no bit -> +pack_s (emits
+    packed = s*pack_s + col); ``sign=+1`` flips (emits col - s*pack_s).
+    ``shift`` = log2(pack_s) (13 for the default 8192 packing, 14 for the
+    wide 16384 packing). Columns [nbits, nbits+1] get the col-split
+    coefficients [256, 1]; any remaining columns are zero.
     """
     t, nw = words_tile.shape
     bits = _unpack_bits_i32(words_tile)
@@ -297,8 +305,8 @@ def _encode_a(words_tile, nbits: int, bpad: int, sign: int):
         bits = jnp.concatenate(
             [bits, jnp.zeros((t, bpad - nw * 32), jnp.int32)], axis=1
         )
-    # (1 - 2*bit) << 13 = +-8192 without vector multiplies.
-    pm = (jnp.int32(1) - (bits << 1)) << 13
+    # (1 - 2*bit) << shift = +-pack_s without vector multiplies.
+    pm = (jnp.int32(1) - (bits << 1)) << shift
     if sign > 0:
         pm = -pm
     lane = jax.lax.broadcasted_iota(jnp.int32, (t, bpad), 1)
@@ -321,6 +329,7 @@ def _minima_kernel(
     tile_j: int,
     need_last: bool,
     reduce: bool,
+    pack_s: int = PACK_S,
 ):
     i = pl.program_id(1)
     rb = w0_ref.shape[0]
@@ -343,8 +352,9 @@ def _minima_kernel(
 
     nj = w1pad // tile_j
 
+    shift = pack_s.bit_length() - 1
     for r in range(rb):
-        a_f = _encode_a(w0_ref[r], nbits, bpad, sign=-1)
+        a_f = _encode_a(w0_ref[r], nbits, bpad, sign=-1, shift=shift)
 
         def dotf_chunk(j, r=r, a_f=a_f):
             b_tile = b_scratch[r, pl.ds(j * tile_j, tile_j), :]
@@ -355,7 +365,8 @@ def _minima_kernel(
             )  # (TILE_I, TILE_J) = s*8192 + col
 
         outf, outl = _sweep_minima_bf16(
-            dotf_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+            dotf_chunk, tile_i, tile_j, nj, w1, need_last, reduce,
+            pack_s=pack_s,
         )
         outf_ref[r, i, :] = outf
         outl_ref[r, i, :] = outl
@@ -363,13 +374,13 @@ def _minima_kernel(
 
 def _sweep_minima_bf16(
     dotf_chunk, tile_i: int, tile_j: int, nj: int, w1: int,
-    need_last: bool, reduce: bool,
+    need_last: bool, reduce: bool, pack_s: int = PACK_S,
 ):
     """Shared f32 packed-minima sweep for the bf16 engine: ``dotf_chunk(j)``
-    returns (TILE_I, TILE_J) f32 ``packed = s*8192 + col``.
+    returns (TILE_I, TILE_J) f32 ``packed = s*pack_s + col``.
 
     The last-argmin packing is derived from the SAME dot output:
-      dotf + (PACK_S-1 - 2*col) = s*8192 + (8191 - col),
+      dotf + (pack_s-1 - 2*col) = s*pack_s + (pack_s-1 - col),
     whose min keeps the minimal s with the LARGEST col as tiebreak —
     one broadcast add instead of a second matmul.
     """
@@ -384,7 +395,7 @@ def _sweep_minima_bf16(
         dotf = dotf_chunk(j)
         accf = jnp.minimum(accf, dotf)
         if need_last:
-            cvec = (jnp.float32(PACK_S - 1)
+            cvec = (jnp.float32(pack_s - 1)
                     - 2.0 * iota_j(j).astype(jnp.float32))
             accl = jnp.minimum(accl, dotf + cvec)
         return accf, accl
@@ -398,7 +409,7 @@ def _sweep_minima_bf16(
         pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
         accf = jnp.minimum(accf, dotf + pen)
         if need_last:
-            cvec = (jnp.float32(PACK_S - 1)
+            cvec = (jnp.float32(pack_s - 1)
                     - 2.0 * colv.astype(jnp.float32))
             accl = jnp.minimum(accl, dotf + cvec + pen)
         return accf, accl
@@ -418,7 +429,7 @@ def _sweep_minima_bf16(
                 dk = dk + pen
             accf = jnp.minimum(accf, dk)
             if need_last:
-                cvec = (jnp.float32(PACK_S - 1)
+                cvec = (jnp.float32(pack_s - 1)
                         - 2.0 * colk.astype(jnp.float32))
                 accl = jnp.minimum(accl, dk + cvec)
         return accf, accl
@@ -450,7 +461,7 @@ def _sweep_minima_bf16(
 
 def _sweep_minima_i8(
     dot_chunk, tile_i: int, tile_j: int, nj: int, w1: int,
-    need_last: bool, reduce: bool,
+    need_last: bool, reduce: bool, pack_s: int = PACK_S, shift: int = 13,
 ):
     """Shared int32 packed-minima sweep over the right-row chunks.
 
@@ -470,22 +481,22 @@ def _sweep_minima_i8(
 
     def body(j, carry):
         accf, accl = carry
-        s13 = dot_chunk(j) << 13
+        s13 = dot_chunk(j) << shift
         colv = iota_j(j)
         accf = jnp.minimum(accf, s13 + colv)
         if need_last:
-            accl = jnp.minimum(accl, s13 + (jnp.int32(PACK_S - 1) - colv))
+            accl = jnp.minimum(accl, s13 + (jnp.int32(pack_s - 1) - colv))
         return accf, accl
 
     def body_masked(j, carry):
         accf, accl = carry
-        s13 = dot_chunk(j) << 13
+        s13 = dot_chunk(j) << shift
         colv = iota_j(j)
         pen = jnp.where(colv >= w1, jnp.int32(1) << 23, 0)
         accf = jnp.minimum(accf, s13 + colv + pen)
         if need_last:
             accl = jnp.minimum(
-                accl, s13 + (jnp.int32(PACK_S - 1) - colv) + pen
+                accl, s13 + (jnp.int32(pack_s - 1) - colv) + pen
             )
         return accf, accl
 
@@ -498,7 +509,7 @@ def _sweep_minima_i8(
         accf, accl = carry
         d = dot_chunk(j)
         for k in range(tile_j // 128):
-            s13 = d[:, 128 * k : 128 * (k + 1)] << 13
+            s13 = d[:, 128 * k : 128 * (k + 1)] << shift
             colk = (j * tile_j + 128 * k
                     + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1))
             pen = (jnp.where(colk >= w1, jnp.int32(1) << 23, 0)
@@ -506,7 +517,7 @@ def _sweep_minima_i8(
             accf = jnp.minimum(accf, s13 + (colk + pen))
             if need_last:
                 accl = jnp.minimum(
-                    accl, s13 + ((jnp.int32(PACK_S - 1) - colk) + pen)
+                    accl, s13 + ((jnp.int32(pack_s - 1) - colk) + pen)
                 )
         return accf, accl
 
@@ -544,6 +555,7 @@ def _minima_kernel_i8(
     tile_j: int,
     need_last: bool,
     reduce: bool,
+    pack_s: int = PACK_S,
 ):
     """int8-MXU variant of :func:`_minima_kernel`: the v5e MXU runs int8
     contractions at twice the bf16 rate, and the index packing moves to
@@ -578,7 +590,8 @@ def _minima_kernel_i8(
             )  # (TILE_I, TILE_J) = s
 
         outf, outl = _sweep_minima_i8(
-            dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+            dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce,
+            pack_s=pack_s, shift=pack_s.bit_length() - 1,
         )
         outf_ref[r, i, :] = outf
         outl_ref[r, i, :] = outl
@@ -587,7 +600,7 @@ def _minima_kernel_i8(
 def _consistency_lookup(
     outf_ref, rev_scratch, rcf_ref, rcl_ref, *,
     ni: int, tile_i: int, w1pad: int, no_dupes: bool,
-    row: int = 0, src_base: int = 0,
+    row: int = 0, src_base: int = 0, pack_s: int = PACK_S,
 ):
     """In-kernel reverse-minima lookup for the Consistency variant.
 
@@ -627,10 +640,10 @@ def _consistency_lookup(
     for ti in range(ni):
         mfv = outf_ref[row, ti, :].reshape(1, tile_i)
         if f32:
-            s = jnp.floor(mfv * jnp.float32(1.0 / PACK_S))
-            idx = (mfv - s * jnp.float32(PACK_S)).astype(jnp.int32)
+            s = jnp.floor(mfv * jnp.float32(1.0 / pack_s))
+            idx = (mfv - s * jnp.float32(pack_s)).astype(jnp.int32)
         else:
-            idx = mfv & jnp.int32(PACK_S - 1)
+            idx = mfv & jnp.int32(pack_s - 1)
         onehot = jnp.where(
             cidx == idx, jnp.float32(1.0), jnp.float32(0.0)
         ).astype(jnp.bfloat16)  # (W1PAD, TILE_I)
@@ -1042,6 +1055,7 @@ def _consistency_kernel(
     tile_j: int,
     tile_i: int,
     no_dupes: bool,
+    pack_s: int = PACK_S,
 ):
     """Fused forward+reverse scan for the Consistency variant.
 
@@ -1082,11 +1096,12 @@ def _consistency_kernel(
     rowpen = jnp.where(row0 >= w0, jnp.float32(PAD_PENALTY), 0.0)
     nj = w1pad // tile_j
 
+    shift = pack_s.bit_length() - 1
     for r in range(rb):
-        a_f = _encode_a(w0_ref[r], nbits, bpad, sign=-1)
+        a_f = _encode_a(w0_ref[r], nbits, bpad, sign=-1, shift=shift)
         # Bits-only query (extras zeroed): against b's col columns the
-        # extras contribute 0, so this dot emits pure s*8192.
-        a_s = _encode_a_bits(w0_ref[r], nbits, bpad)
+        # extras contribute 0, so this dot emits pure s*pack_s.
+        a_s = _encode_a_bits(w0_ref[r], nbits, bpad, shift=shift)
 
         # Row-varying reverse terms: pop0*8192 restores the true Hamming
         # cost (s depends on the row's popcount, which is NOT constant
@@ -1094,10 +1109,10 @@ def _consistency_kernel(
         # query rows (>= W0) get a penalty so they never win.
         bits0 = _unpack_bits_i32(w0_ref[r].reshape(tile_i, -1))
         pop0 = jnp.sum(bits0, axis=1, keepdims=True).astype(jnp.float32)
-        radd_f = (pop0 * jnp.float32(PACK_S)
+        radd_f = (pop0 * jnp.float32(pack_s)
                   + row0.astype(jnp.float32) + rowpen)
-        radd_l = (pop0 * jnp.float32(PACK_S)
-                  + (jnp.float32(PACK_S - 1) - row0.astype(jnp.float32))
+        radd_l = (pop0 * jnp.float32(pack_s)
+                  + (jnp.float32(pack_s - 1) - row0.astype(jnp.float32))
                   + rowpen)
 
         def chunk(j, accf, accl, r=r, a_f=a_f, a_s=a_s,
@@ -1118,7 +1133,7 @@ def _consistency_kernel(
             pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
             accf = jnp.minimum(accf, dotf + pen)
             if no_dupes:
-                cvec = (jnp.float32(PACK_S - 1)
+                cvec = (jnp.float32(pack_s - 1)
                         - 2.0 * colv.astype(jnp.float32)) + pen
                 accl = jnp.minimum(accl, dotf + cvec)
             # Reverse: min over rows of (ham*8192 + col0) per right column.
@@ -1152,7 +1167,7 @@ def _consistency_kernel(
             _consistency_lookup(
                 outf_ref, rev_scratch, rcf_ref, rcl_ref,
                 ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
-                row=r, src_base=2 * r,
+                row=r, src_base=2 * r, pack_s=pack_s,
             )
 
 
@@ -1173,6 +1188,7 @@ def _consistency_kernel_i8(
     tile_j: int,
     tile_i: int,
     no_dupes: bool,
+    pack_s: int = PACK_S,
 ):
     """int8-MXU fused Consistency scan.
 
@@ -1205,6 +1221,7 @@ def _consistency_kernel_i8(
     rowpen = jnp.where(row0 >= w0, jnp.int32(1) << 23, 0)
     nj = w1pad // tile_j
 
+    shift = pack_s.bit_length() - 1
     for r in range(rb):
         a_i = _encode_a_i8(w0_ref[r], nbits, bpad)
 
@@ -1212,8 +1229,8 @@ def _consistency_kernel_i8(
         # cost; padded query rows (>= W0) are penalized out.
         bits0 = _unpack_bits_i32(w0_ref[r].reshape(tile_i, -1))
         pop0 = jnp.sum(bits0, axis=1, keepdims=True)
-        radd_f = (pop0 << 13) + row0 + rowpen
-        radd_l = (pop0 << 13) + (jnp.int32(PACK_S - 1) - row0) + rowpen
+        radd_f = (pop0 << shift) + row0 + rowpen
+        radd_l = (pop0 << shift) + (jnp.int32(pack_s - 1) - row0) + rowpen
 
         def chunk(j, accf, accl, r=r, a_i=a_i,
                   radd_f=radd_f, radd_l=radd_l):
@@ -1221,7 +1238,7 @@ def _consistency_kernel_i8(
             s13 = jax.lax.dot_general(
                 a_i, b_tile, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ) << 13
+            ) << shift
             colv = j * tile_j + jax.lax.broadcasted_iota(
                 jnp.int32, (1, tile_j), 1
             )
@@ -1229,7 +1246,7 @@ def _consistency_kernel_i8(
             accf = jnp.minimum(accf, s13 + colv + pen)
             if no_dupes:
                 accl = jnp.minimum(
-                    accl, s13 + (jnp.int32(PACK_S - 1) - colv) + pen
+                    accl, s13 + (jnp.int32(pack_s - 1) - colv) + pen
                 )
             rev_f = jnp.min(s13 + radd_f, axis=0, keepdims=True)  # (1, TJ)
             js = pl.ds(j * tile_j, tile_j)
@@ -1259,11 +1276,11 @@ def _consistency_kernel_i8(
             _consistency_lookup(
                 outf_ref, rev_scratch, rcf_ref, rcl_ref,
                 ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
-                row=r, src_base=2 * r,
+                row=r, src_base=2 * r, pack_s=pack_s,
             )
 
 
-def _encode_a_bits(words_tile, nbits: int, bpad: int):
+def _encode_a_bits(words_tile, nbits: int, bpad: int, shift: int = 13):
     """Query-side encoding with ZERO extras: bit -> -8192, no bit -> +8192,
     all columns >= nbits zero — the dot against an :func:`_encode_b` row
     yields pure ``s*8192`` (the col columns multiply zeros)."""
@@ -1273,7 +1290,7 @@ def _encode_a_bits(words_tile, nbits: int, bpad: int):
         bits = jnp.concatenate(
             [bits, jnp.zeros((t, bpad - nw * 32), jnp.int32)], axis=1
         )
-    pm = (jnp.int32(1) - (bits << 1)) << 13
+    pm = (jnp.int32(1) - (bits << 1)) << shift
     lane = jax.lax.broadcasted_iota(jnp.int32, (t, bpad), 1)
     pm = jnp.where(lane >= nbits, 0, pm)
     return pm.astype(jnp.bfloat16)
@@ -1292,7 +1309,7 @@ def _pad_axis(x, axis: int, mult: int):
     jax.jit,
     static_argnames=(
         "nbits", "need_last", "tile_i", "tile_j", "interpret", "engine",
-        "reduce", "rows",
+        "reduce", "rows", "pack_s",
     ),
 )
 def _row_minima_words(
@@ -1308,6 +1325,7 @@ def _row_minima_words(
     engine: str,
     reduce: bool = False,
     rows: int = 1,
+    pack_s: int = PACK_S,
 ):
     h, w0, nw = words0.shape
     w1 = words1.shape[1]
@@ -1340,6 +1358,7 @@ def _row_minima_words(
         tile_j=tile_j,
         need_last=need_last,
         reduce=reduce,
+        pack_s=pack_s,
     )
 
     grid = (hpad // rb, ni)
@@ -1381,28 +1400,29 @@ def _row_minima_words(
         ),
     )(words0p, words1p)
 
+    shift = pack_s.bit_length() - 1
     mf = mf.reshape(hpad, w0pad)[:h, :w0]
     if engine == "i8":
-        # mf = s*8192 + col in exact int32; >> 13 floors for negative s and
-        # the low 13 bits are col regardless of sign.
-        first = mf & jnp.int32(PACK_S - 1)
-        cost = (mf >> 13) + pop0
+        # mf = s*pack_s + col in exact int32; >> shift floors for negative s
+        # and the low bits are col regardless of sign.
+        first = mf & jnp.int32(pack_s - 1)
+        cost = (mf >> shift) + pop0
         if need_last:
             ml = ml.reshape(hpad, w0pad)[:h, :w0]
-            last = (PACK_S - 1) - (ml & jnp.int32(PACK_S - 1))
+            last = (pack_s - 1) - (ml & jnp.int32(pack_s - 1))
         else:
             last = None
         return cost, first, last
-    # Decode mf = s*8192 + col (exact f32 ints; s may be negative).
-    sf = jnp.floor(mf / PACK_S)
-    first = (mf - sf * PACK_S).astype(jnp.int32)
+    # Decode mf = s*pack_s + col (exact f32 ints; s may be negative).
+    sf = jnp.floor(mf / pack_s)
+    first = (mf - sf * pack_s).astype(jnp.int32)
     cost = sf.astype(jnp.int32) + pop0
     if need_last:
-        # ml = min(s*8192 + (8191 - col)): the minimal s wins with the
-        # LARGEST col as tiebreak; col = 8191 - (ml mod 8192).
+        # ml = min(s*pack_s + (pack_s-1 - col)): the minimal s wins with the
+        # LARGEST col as tiebreak; col = pack_s-1 - (ml mod pack_s).
         ml = ml.reshape(hpad, w0pad)[:h, :w0]
-        sl = jnp.floor(ml / PACK_S)
-        last = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
+        sl = jnp.floor(ml / pack_s)
+        last = (pack_s - 1) - (ml - sl * pack_s).astype(jnp.int32)
     else:
         last = None
     return cost, first, last
@@ -1583,7 +1603,7 @@ def row_minima_words_band(
     jax.jit,
     static_argnames=(
         "nbits", "no_dupes", "tile_i", "tile_j", "interpret", "engine",
-        "rows",
+        "rows", "pack_s",
     ),
 )
 def _row_minima_consistency_words(
@@ -1598,6 +1618,7 @@ def _row_minima_consistency_words(
     interpret: bool,
     engine: str,
     rows: int = 1,
+    pack_s: int = PACK_S,
 ):
     h, w0, nw = words0.shape
     w1 = words1.shape[1]
@@ -1631,6 +1652,7 @@ def _row_minima_consistency_words(
         tile_j=tile_j,
         tile_i=tile_i,
         no_dupes=no_dupes,
+        pack_s=pack_s,
     )
 
     grid = (hpad // rb, ni)
@@ -1672,34 +1694,35 @@ def _row_minima_consistency_words(
         ),
     )(words0p, words1p)
 
+    shift = pack_s.bit_length() - 1
     mf = mf.reshape(hpad, w0pad)[:h, :w0]
     mrf = mrf.reshape(hpad, w0pad)[:h, :w0]
     if engine == "i8":
-        mask = jnp.int32(PACK_S - 1)
+        mask = jnp.int32(pack_s - 1)
         first0 = mf & mask
-        cost0 = (mf >> 13) + pop0
+        cost0 = (mf >> shift) + pop0
         rc0 = mrf & mask
         if no_dupes:
             ml = ml.reshape(hpad, w0pad)[:h, :w0]
-            last0 = (PACK_S - 1) - (ml & mask)
+            last0 = (pack_s - 1) - (ml & mask)
             mrl = mrl.reshape(hpad, w0pad)[:h, :w0]
-            rc0_last = (PACK_S - 1) - (mrl & mask)
+            rc0_last = (pack_s - 1) - (mrl & mask)
         else:
             last0 = None
             rc0_last = None
         return (cost0, first0, last0), (None, rc0, rc0_last)
-    sf = jnp.floor(mf / PACK_S)
-    first0 = (mf - sf * PACK_S).astype(jnp.int32)
+    sf = jnp.floor(mf / pack_s)
+    first0 = (mf - sf * pack_s).astype(jnp.int32)
     cost0 = sf.astype(jnp.int32) + pop0
-    sr = jnp.floor(mrf / PACK_S)
-    rc0 = (mrf - sr * PACK_S).astype(jnp.int32)
+    sr = jnp.floor(mrf / pack_s)
+    rc0 = (mrf - sr * pack_s).astype(jnp.int32)
     if no_dupes:
         ml = ml.reshape(hpad, w0pad)[:h, :w0]
-        sl = jnp.floor(ml / PACK_S)
-        last0 = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
+        sl = jnp.floor(ml / pack_s)
+        last0 = (pack_s - 1) - (ml - sl * pack_s).astype(jnp.int32)
         mrl = mrl.reshape(hpad, w0pad)[:h, :w0]
-        srl = jnp.floor(mrl / PACK_S)
-        rc0_last = (PACK_S - 1) - (mrl - srl * PACK_S).astype(jnp.int32)
+        srl = jnp.floor(mrl / pack_s)
+        rc0_last = (pack_s - 1) - (mrl - srl * pack_s).astype(jnp.int32)
     else:
         last0 = None
         rc0_last = None
@@ -2092,8 +2115,15 @@ def row_minima_consistency_words(
     (default ``BICOS_CONS_ROWS``) batches image rows per grid step."""
     h, w0, _ = words0.shape
     w1 = words1.shape[1]
-    if max(w0, w1) >= PACK_S:
-        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
+    if max(w0, w1) >= 2 * PACK_S:
+        raise ValueError(
+            f"image width >= {2 * PACK_S} not supported by kernel")
+    # Ultra-wide rows (>= 8192) use the 16384 packing — still exact f32
+    # integers (see the PACK_S note); rows capped to bound the wider VMEM
+    # scratch.
+    pack_s = PACK_S if max(w0, w1) < PACK_S else 2 * PACK_S
+    if rows is None:
+        rows = CONS_ROWS if pack_s == PACK_S else min(CONS_ROWS, 2)
     tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
     return _row_minima_consistency_words(
         words0,
@@ -2105,7 +2135,8 @@ def row_minima_consistency_words(
         tile_j=tile_j,
         interpret=interpret,
         engine=engine or DEFAULT_ENGINE,
-        rows=CONS_ROWS if rows is None else rows,
+        rows=rows,
+        pack_s=pack_s,
     )
 
 
@@ -2164,8 +2195,15 @@ def row_minima_pallas_words(
     step."""
     h, w0, _ = words0.shape
     w1 = words1.shape[1]
-    if max(w0, w1) >= PACK_S:
-        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
+    if max(w0, w1) >= 2 * PACK_S:
+        raise ValueError(
+            f"image width >= {2 * PACK_S} not supported by kernel")
+    # Ultra-wide rows (>= 8192) use the 16384 packing — still exact f32
+    # integers (see the PACK_S note); rows capped to bound the wider VMEM
+    # scratch.
+    pack_s = PACK_S if max(w0, w1) < PACK_S else 2 * PACK_S
+    if rows is None:
+        rows = SEARCH_ROWS if pack_s == PACK_S else min(SEARCH_ROWS, 4)
     tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
     return _row_minima_words(
         words0,
@@ -2178,7 +2216,8 @@ def row_minima_pallas_words(
         interpret=interpret,
         engine=engine or DEFAULT_ENGINE,
         reduce=DEFAULT_REDUCE if reduce is None else reduce,
-        rows=SEARCH_ROWS if rows is None else rows,
+        rows=rows,
+        pack_s=pack_s,
     )
 
 

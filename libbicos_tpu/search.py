@@ -210,9 +210,10 @@ def search_words(
     backend = resolve_backend(backend)
     h, w0, _ = words0.shape
     w1 = words1.shape[1]
-    if backend in ("pallas", "pallas_interpret") and max(w0, w1) >= 8192:
-        # The Pallas kernels pack col into 13 bits; the XLA path packs into
-        # PACK_K = 32768 and keeps working for ultra-wide rows.
+    if backend in ("pallas", "pallas_interpret") and max(w0, w1) >= 16384:
+        # The Pallas words kernels pack col into 13 bits (14 for ultra-wide
+        # rows in [8192, 16384)); beyond that the XLA path packs into
+        # PACK_K = 32768 and keeps working.
         backend = "xla"
 
     if isinstance(variant, NoDuplicates):

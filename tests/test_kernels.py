@@ -289,3 +289,51 @@ def test_words_multirow_parity(rng, engine):
                 assert b is None
                 continue
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("engine", ["i8", "bf16"])
+def test_row_minima_words_ultrawide_16k_packing(rng, engine):
+    """Rows in [8192, 16384) switch the words kernel to the 16384 packing;
+    minima must equal the XLA scan exactly (col>>8 stays bf16-exact and
+    every packed value an exact f32 integer — see the PACK_S note)."""
+    from libbicos_tpu import search
+    from libbicos_tpu.kernels.hamming import row_minima_pallas_words
+
+    h, w, nbits, nw = 2, 8200, 40, 2
+    packmask = np.uint32((1 << 8) - 1)  # keep popcounts small-ish
+    w0 = rng.integers(0, 2**32, (h, w, nw), dtype=np.uint32) & packmask
+    w1 = rng.integers(0, 2**32, (h, w, nw), dtype=np.uint32) & packmask
+    c, f, l = row_minima_pallas_words(
+        w0, w1, nbits=nbits, need_last=True, interpret=True, engine=engine,
+    )
+    cr, fr, lr = search.row_minima_xla_words(w0, w1, True, row_chunk=1)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(cr))
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(fr))
+    np.testing.assert_array_equal(np.asarray(l), np.asarray(lr))
+
+
+def test_consistency_words_ultrawide_16k_packing(rng):
+    """Fused consistency kernel at ultra-wide rows: forward minima and the
+    in-kernel reverse lookup must match the two-pass XLA decode."""
+    from libbicos_tpu import search
+    from libbicos_tpu.config import Consistency
+    from libbicos_tpu.kernels.hamming import row_minima_consistency_words
+
+    h, w, nbits, nw = 2, 8200, 40, 2
+    packmask = np.uint32((1 << 8) - 1)
+    w0 = rng.integers(0, 2**32, (h, w, nw), dtype=np.uint32) & packmask
+    w1 = rng.integers(0, 2**32, (h, w, nw), dtype=np.uint32) & packmask
+    variant = Consistency(max_lr_diff=2, no_dupes=True)
+    (c0, f0, l0), (_, rc0, rc0l) = row_minima_consistency_words(
+        w0, w1, nbits=nbits, no_dupes=True, interpret=True,
+    )
+    # Reference: two XLA passes + gather decode.
+    _, f0r, l0r = search.row_minima_xla_words(w0, w1, True, row_chunk=1)
+    _, f1r, l1r = search.row_minima_xla_words(w1, w0, True, row_chunk=1)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f0r))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l0r))
+    import jax.numpy as jnp
+    rc_ref = np.take_along_axis(np.asarray(f1r), np.asarray(f0r), axis=1)
+    rcl_ref = np.take_along_axis(np.asarray(l1r), np.asarray(f0r), axis=1)
+    np.testing.assert_array_equal(np.asarray(rc0), rc_ref)
+    np.testing.assert_array_equal(np.asarray(rc0l), rcl_ref)
