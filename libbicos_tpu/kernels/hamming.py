@@ -1442,6 +1442,7 @@ def _minima_kernel_band(
     w1_total: int,
     tile_j: int,
     need_last: bool,
+    pack_s: int = PACK_S,
 ):
     """W-band variant of :func:`_minima_kernel` for the ``ppermute`` ring
     (``sharding.row_minima_wband``): scans ONE right-descriptor band whose
@@ -1470,8 +1471,9 @@ def _minima_kernel_band(
         _encode_b_segments(b_scratch, bandpad, write_seg)
 
     nj = bandpad // tile_j
+    shift = pack_s.bit_length() - 1
     for r in range(rb):
-        a_f = _encode_a(w0_ref[r], nbits, bpad, sign=-1)
+        a_f = _encode_a(w0_ref[r], nbits, bpad, sign=-1, shift=shift)
         init = jnp.full((tile_i, tile_j), jnp.float32(ACC_INIT),
                         jnp.float32)
         accf, accl = init, init
@@ -1490,7 +1492,7 @@ def _minima_kernel_band(
                                jnp.float32(PAD_PENALTY), 0.0))
             accf = jnp.minimum(accf, dotf + pen)
             if need_last:
-                cvec = (jnp.float32(PACK_S - 1)
+                cvec = (jnp.float32(pack_s - 1)
                         - 2.0 * gcol.astype(jnp.float32))
                 accl = jnp.minimum(accl, dotf + cvec + pen)
         outf_ref[r, i, :] = jnp.min(accf, axis=1)
@@ -1529,6 +1531,12 @@ def row_minima_words_band(
     is False."""
     h, w0, nw = words0.shape
     band = words1_band.shape[1]
+    # Ultra-wide rings (total width in [8192, 16384)) use the 16384 packing;
+    # derived from the STATIC w1_total so every caller (and the decode in
+    # sharding._ring_minima_packed) can re-derive the same constant.
+    pack_s = PACK_S if w1_total < PACK_S else 2 * PACK_S
+    if not rows and pack_s != PACK_S:
+        rows = min(SEARCH_ROWS, 4)
     rows = rows or SEARCH_ROWS
     words0p = _pad_axis(words0, 1, tile_i)
     words1p = _pad_axis(words1_band, 1, max(tile_j, UNPACK_SEG))
@@ -1548,6 +1556,7 @@ def row_minima_words_band(
         w1_total=w1_total,
         tile_j=tile_j,
         need_last=need_last,
+        pack_s=pack_s,
     )
     off_arr = jnp.asarray(col_off, jnp.int32).reshape(1)
     grid = (hpad // rb, ni)

@@ -318,16 +318,20 @@ def _ring_minima_packed(bits0, bits1, need_last, axis_name, ndev, band, w,
     if backend in ("pallas", "pallas_interpret"):
         from .kernels.hamming import PACK_S
 
-        if w >= PACK_S:
-            # The band kernel packs s * 8192 + col_global; wider rows would
-            # alias columns into the cost field (the einsum engine packs
-            # into PACK_K = 32768 and keeps working) — same fallback rule
-            # as search.search_words for the single-chip kernels.
+        if w >= 2 * PACK_S:
+            # The band kernel packs s * 8192 + col_global (16384 for
+            # ultra-wide rows in [8192, 16384)); beyond that columns would
+            # alias into the cost field (the einsum engine packs into
+            # PACK_K = 32768 and keeps working) — same fallback rule as
+            # search.search_words for the single-chip kernels.
             backend = "xla"
 
     if backend in ("pallas", "pallas_interpret"):
         from .kernels.hamming import PACK_S, row_minima_words_band
 
+        # Same per-width packing rule the band kernel derives internally
+        # from its static w1_total.
+        pack_s = PACK_S if w < PACK_S else 2 * PACK_S
         nbits = bits0.shape[2]
         words0 = _descriptor.pack_bits(bits0)
         pop0 = _descriptor.popcounts(bits0)
@@ -349,14 +353,14 @@ def _ring_minima_packed(bits0, bits1, need_last, axis_name, ndev, band, w,
 
         bigf = jnp.full((h, bits0.shape[1]), jnp.float32(1 << 24))
         mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (bigf, bigf, cur0))
-        # Re-pack the kernel's s*8192 + col into cost * PACK_K + col so
+        # Re-pack the kernel's s*pack_s + col into cost * PACK_K + col so
         # both engines share one decode (s = ham - pop(a), exact f32 ints).
-        s = jnp.floor(mf / PACK_S)
-        first = (mf - s * PACK_S).astype(jnp.int32)
+        s = jnp.floor(mf / pack_s)
+        first = (mf - s * pack_s).astype(jnp.int32)
         mfo = (s.astype(jnp.int32) + pop0) * PACK_K + first
         if need_last:
-            sl = jnp.floor(ml / PACK_S)
-            lastc = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
+            sl = jnp.floor(ml / pack_s)
+            lastc = (pack_s - 1) - (ml - sl * pack_s).astype(jnp.int32)
             mlo = (sl.astype(jnp.int32) + pop0) * PACK_K + (w - 1 - lastc)
         else:
             mlo = jnp.zeros_like(mfo)

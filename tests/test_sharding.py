@@ -166,10 +166,9 @@ def test_sharded_surfaces_validate_like_match(rng, mesh):
                corrmap=True)
 
 
-def test_wband_pallas_falls_back_beyond_pack_s(rng, mesh):
-    """The Pallas band kernel packs s*8192 + col_global; for W >= 8192 the
-    ring must fall back to the einsum engine instead of silently aliasing
-    columns into the cost field."""
+def test_wband_pallas_ultrawide_16k_packing(rng, mesh):
+    """For W in [8192, 16384) the Pallas band ring switches to the 16384
+    packing; global-column minima must still decode exactly."""
     h, w, b = 1, 8300, 32  # 32 bits: spurious zero-cost collisions ~2^-32
     bits1 = rng.random((h, w, b)) < 0.5
     bits0 = bits1[:, 8260:8261, :].copy()  # planted zero-cost match @ 8260
@@ -177,6 +176,18 @@ def test_wband_pallas_falls_back_beyond_pack_s(rng, mesh):
                                   backend="pallas_interpret")
     assert int(cw[0, 0]) == 0
     assert int(fw[0, 0]) == 8260
+
+
+def test_wband_pallas_falls_back_beyond_16k(rng, mesh):
+    """Beyond 16384 columns even the wide packing would alias; the ring
+    must fall back to the einsum engine (PACK_K = 32768)."""
+    h, w, b = 1, 16500, 32
+    bits1 = rng.random((h, w, b)) < 0.5
+    bits0 = bits1[:, 16450:16451, :].copy()  # planted match @ 16450
+    cw, fw, lw = row_minima_wband(bits0, bits1, True, mesh=mesh,
+                                  backend="pallas_interpret")
+    assert int(cw[0, 0]) == 0
+    assert int(fw[0, 0]) == 16450
 
 
 def test_match_batched_sharded_rejects_shape_mismatch(rng, mesh):
