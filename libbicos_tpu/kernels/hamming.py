@@ -272,7 +272,7 @@ def _encode_b_bf16_stack(s_rows, cxb, cyb, nbits: int, col0, u16: bool):
 
 
 def _encode_a_bf16_stack(s_tile, cxb, cyb, nbits: int, u16: bool,
-                         extras: bool):
+                         extras: bool, shift: int = 13):
     """(n, TILE_I) raw samples -> (TILE_I, BPAD) bf16 query encoding:
     bit -> -8192, no bit -> +8192 (dot emits s*8192 + col when ``extras``
     puts the [256, 1] col-split coefficients at lanes nbits/nbits+1;
@@ -281,7 +281,8 @@ def _encode_a_bf16_stack(s_tile, cxb, cyb, nbits: int, u16: bool,
     tile_i = s_tile.shape[1]
     bpad = cxb.shape[0]
     xv, yv = _cmp_dots(s_tile.astype(jnp.int32), cxb, cyb, u16, a_side=True)
-    pm = jnp.where(xv < yv, jnp.int32(-8192), jnp.int32(8192))
+    scale = jnp.int32(1) << shift
+    pm = jnp.where(xv < yv, -scale, scale)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_i, bpad), 1)
     pm = jnp.where(lane >= nbits, 0, pm)
     if extras:
@@ -695,6 +696,7 @@ def _minima_kernel_i8_stack(
     need_last: bool,
     reduce: bool,
     u16: bool,
+    pack_s: int = PACK_S,
 ):
     """Fused transform+search: consumes RAW image stacks and computes the
     descriptor bits on-chip via compare-matrix MXU contractions
@@ -735,7 +737,8 @@ def _minima_kernel_i8_stack(
             )  # (TILE_I, TILE_J) = s
 
         outf, outl = _sweep_minima_i8(
-            dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+            dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce,
+            pack_s=pack_s, shift=pack_s.bit_length() - 1,
         )
         outf_ref[r, i, :] = outf
         outl_ref[r, i, :] = outl
@@ -757,6 +760,7 @@ def _minima_kernel_bf16_stack(
     need_last: bool,
     reduce: bool,
     u16: bool,
+    pack_s: int = PACK_S,
 ):
     """bf16-engine fused transform+search (see :func:`_minima_kernel_i8_stack`
     for the on-chip transform and :func:`_minima_kernel` for the
@@ -783,9 +787,10 @@ def _minima_kernel_bf16_stack(
 
     nj = w1pad // tile_j
 
+    shift = pack_s.bit_length() - 1
     for r in range(rb):
         a_f = _encode_a_bf16_stack(
-            s0_ref[r], cxb, cyb, nbits, u16, extras=True
+            s0_ref[r], cxb, cyb, nbits, u16, extras=True, shift=shift
         )
 
         def dotf_chunk(j, r=r, a_f=a_f):
@@ -797,7 +802,8 @@ def _minima_kernel_bf16_stack(
             )  # (TILE_I, TILE_J) = s*8192 + col
 
         outf, outl = _sweep_minima_bf16(
-            dotf_chunk, tile_i, tile_j, nj, w1, need_last, reduce
+            dotf_chunk, tile_i, tile_j, nj, w1, need_last, reduce,
+            pack_s=pack_s,
         )
         outf_ref[r, i, :] = outf
         outl_ref[r, i, :] = outl
@@ -823,6 +829,7 @@ def _consistency_kernel_bf16_stack(
     tile_i: int,
     no_dupes: bool,
     u16: bool,
+    pack_s: int = PACK_S,
 ):
     """bf16-engine fused transform + forward/reverse Consistency scan
     (combines :func:`_consistency_kernel` with the on-chip transform).
@@ -858,23 +865,24 @@ def _consistency_kernel_bf16_stack(
     rowpen = jnp.where(row0 >= w0, jnp.float32(PAD_PENALTY), 0.0)
     nj = w1pad // tile_j
 
+    shift = pack_s.bit_length() - 1
     for r in range(rb):
         a_f = _encode_a_bf16_stack(
-            s0_ref[r], cxb, cyb, nbits, u16, extras=True
+            s0_ref[r], cxb, cyb, nbits, u16, extras=True, shift=shift
         )
         a_s = _encode_a_bf16_stack(
-            s0_ref[r], cxb, cyb, nbits, u16, extras=False
+            s0_ref[r], cxb, cyb, nbits, u16, extras=False, shift=shift
         )
 
         # pop0 = number of set query bits: a_s carries -8192 per set bit
         # and +8192 per clear bit over exactly nbits lanes.
         sum_pm = jnp.sum(a_s.astype(jnp.float32), axis=1, keepdims=True)
         pop0 = (jnp.float32(nbits)
-                - sum_pm * jnp.float32(1.0 / PACK_S)) * jnp.float32(0.5)
-        radd_f = (pop0 * jnp.float32(PACK_S)
+                - sum_pm * jnp.float32(1.0 / pack_s)) * jnp.float32(0.5)
+        radd_f = (pop0 * jnp.float32(pack_s)
                   + row0.astype(jnp.float32) + rowpen)
-        radd_l = (pop0 * jnp.float32(PACK_S)
-                  + (jnp.float32(PACK_S - 1) - row0.astype(jnp.float32))
+        radd_l = (pop0 * jnp.float32(pack_s)
+                  + (jnp.float32(pack_s - 1) - row0.astype(jnp.float32))
                   + rowpen)
 
         def chunk(j, accf, accl, r=r, a_f=a_f, a_s=a_s,
@@ -895,7 +903,7 @@ def _consistency_kernel_bf16_stack(
             pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
             accf = jnp.minimum(accf, dotf + pen)
             if no_dupes:
-                cvec = (jnp.float32(PACK_S - 1)
+                cvec = (jnp.float32(pack_s - 1)
                         - 2.0 * colv.astype(jnp.float32)) + pen
                 accl = jnp.minimum(accl, dotf + cvec)
             rev_f = jnp.min(dots + radd_f, axis=0, keepdims=True)  # (1,TJ)
@@ -928,7 +936,7 @@ def _consistency_kernel_bf16_stack(
             _consistency_lookup(
                 outf_ref, rev_scratch, rcf_ref, rcl_ref,
                 ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
-                row=r, src_base=2 * r,
+                row=r, src_base=2 * r, pack_s=pack_s,
             )
 
 
@@ -952,6 +960,7 @@ def _consistency_kernel_i8_stack(
     tile_i: int,
     no_dupes: bool,
     u16: bool,
+    pack_s: int = PACK_S,
 ):
     """Fused transform + forward/reverse Consistency scan from raw stacks
     (see :func:`_minima_kernel_i8_stack` and :func:`_consistency_kernel_i8`).
@@ -983,12 +992,13 @@ def _consistency_kernel_i8_stack(
     rowpen = jnp.where(row0 >= w0, jnp.int32(1) << 23, 0)
     nj = w1pad // tile_j
 
+    shift = pack_s.bit_length() - 1
     for r in range(rb):
         a_i = _encode_a_i8_stack(s0_ref[r], cxb, cyb, nbits, u16)
         pop0 = (jnp.int32(nbits)
                 - jnp.sum(a_i.astype(jnp.int32), axis=1, keepdims=True)) >> 1
-        radd_f = (pop0 << 13) + row0 + rowpen
-        radd_l = (pop0 << 13) + (jnp.int32(PACK_S - 1) - row0) + rowpen
+        radd_f = (pop0 << shift) + row0 + rowpen
+        radd_l = (pop0 << shift) + (jnp.int32(pack_s - 1) - row0) + rowpen
 
         def chunk(j, accf, accl, r=r, a_i=a_i,
                   radd_f=radd_f, radd_l=radd_l):
@@ -996,7 +1006,7 @@ def _consistency_kernel_i8_stack(
             s13 = jax.lax.dot_general(
                 a_i, b_tile, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ) << 13
+            ) << shift
             colv = j * tile_j + jax.lax.broadcasted_iota(
                 jnp.int32, (1, tile_j), 1
             )
@@ -1004,7 +1014,7 @@ def _consistency_kernel_i8_stack(
             accf = jnp.minimum(accf, s13 + colv + pen)
             if no_dupes:
                 accl = jnp.minimum(
-                    accl, s13 + (jnp.int32(PACK_S - 1) - colv) + pen
+                    accl, s13 + (jnp.int32(pack_s - 1) - colv) + pen
                 )
             rev_f = jnp.min(s13 + radd_f, axis=0, keepdims=True)  # (1, TJ)
             js = pl.ds(j * tile_j, tile_j)
@@ -1034,7 +1044,7 @@ def _consistency_kernel_i8_stack(
             _consistency_lookup(
                 outf_ref, rev_scratch, rcf_ref, rcl_ref,
                 ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
-                row=r, src_base=2 * r,
+                row=r, src_base=2 * r, pack_s=pack_s,
             )
 
 
@@ -1767,7 +1777,7 @@ def _padded_coeffs(n: int, mode, bpad: int):
     jax.jit,
     static_argnames=(
         "mode", "need_last", "tile_i", "tile_j", "interpret", "engine",
-        "reduce", "rows",
+        "reduce", "rows", "pack_s",
     ),
 )
 def _row_minima_stack(
@@ -1782,6 +1792,7 @@ def _row_minima_stack(
     engine: str,
     reduce: bool,
     rows: int = 1,
+    pack_s: int = PACK_S,
 ):
     from ..config import actual_bits
 
@@ -1822,6 +1833,7 @@ def _row_minima_stack(
         need_last=need_last,
         reduce=reduce,
         u16=u16,
+        pack_s=pack_s,
     )
 
     cxj = jnp.asarray(cxp, jnp.bfloat16)
@@ -1867,19 +1879,19 @@ def _row_minima_stack(
     # the argmin columns).
     mf = mf.reshape(hpad, w0pad)[:h, :w0]
     if engine == "i8":
-        first = mf & jnp.int32(PACK_S - 1)
+        first = mf & jnp.int32(pack_s - 1)
         if need_last:
             ml = ml.reshape(hpad, w0pad)[:h, :w0]
-            last = (PACK_S - 1) - (ml & jnp.int32(PACK_S - 1))
+            last = (pack_s - 1) - (ml & jnp.int32(pack_s - 1))
         else:
             last = None
         return None, first, last
-    sf = jnp.floor(mf / PACK_S)
-    first = (mf - sf * PACK_S).astype(jnp.int32)
+    sf = jnp.floor(mf / pack_s)
+    first = (mf - sf * pack_s).astype(jnp.int32)
     if need_last:
         ml = ml.reshape(hpad, w0pad)[:h, :w0]
-        sl = jnp.floor(ml / PACK_S)
-        last = (PACK_S - 1) - (ml - sl * PACK_S).astype(jnp.int32)
+        sl = jnp.floor(ml / pack_s)
+        last = (pack_s - 1) - (ml - sl * pack_s).astype(jnp.int32)
     else:
         last = None
     return None, first, last
@@ -1889,7 +1901,7 @@ def _row_minima_stack(
     jax.jit,
     static_argnames=(
         "mode", "no_dupes", "tile_i", "tile_j", "interpret", "engine",
-        "rows",
+        "rows", "pack_s",
     ),
 )
 def _row_minima_consistency_stack(
@@ -1903,6 +1915,7 @@ def _row_minima_consistency_stack(
     interpret: bool,
     engine: str,
     rows: int = 1,
+    pack_s: int = PACK_S,
 ):
     from ..config import actual_bits
 
@@ -1940,6 +1953,7 @@ def _row_minima_consistency_stack(
         tile_i=tile_i,
         no_dupes=no_dupes,
         u16=u16,
+        pack_s=pack_s,
     )
 
     cxj = jnp.asarray(cxp, jnp.bfloat16)
@@ -1986,26 +2000,26 @@ def _row_minima_consistency_stack(
     mf = mf.reshape(hpad, w0pad)[:h, :w0]
     mrf = mrf.reshape(hpad, w0pad)[:h, :w0]
     if engine == "i8":
-        mask = jnp.int32(PACK_S - 1)
+        mask = jnp.int32(pack_s - 1)
         first0 = mf & mask
         rc0 = mrf & mask
         if no_dupes:
             ml = ml.reshape(hpad, w0pad)[:h, :w0]
-            last0 = (PACK_S - 1) - (ml & mask)
+            last0 = (pack_s - 1) - (ml & mask)
             mrl = mrl.reshape(hpad, w0pad)[:h, :w0]
-            rc0_last = (PACK_S - 1) - (mrl & mask)
+            rc0_last = (pack_s - 1) - (mrl & mask)
         else:
             last0 = None
             rc0_last = None
         return (None, first0, last0), (None, rc0, rc0_last)
 
     def dec_first(m):
-        s = jnp.floor(m / PACK_S)
-        return (m - s * PACK_S).astype(jnp.int32)
+        s = jnp.floor(m / pack_s)
+        return (m - s * pack_s).astype(jnp.int32)
 
     def dec_last(m):
-        s = jnp.floor(m / PACK_S)
-        return (PACK_S - 1) - (m - s * PACK_S).astype(jnp.int32)
+        s = jnp.floor(m / pack_s)
+        return (pack_s - 1) - (m - s * pack_s).astype(jnp.int32)
 
     first0 = dec_first(mf)
     rc0 = dec_first(mrf)
@@ -2038,8 +2052,12 @@ def row_minima_stack(
     batches image rows per grid step."""
     _, h, w0 = stack0.shape
     w1 = stack1.shape[2]
-    if max(w0, w1) >= PACK_S:
-        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
+    if max(w0, w1) >= 2 * PACK_S:
+        raise ValueError(
+            f"image width >= {2 * PACK_S} not supported by kernel")
+    pack_s = PACK_S if max(w0, w1) < PACK_S else 2 * PACK_S
+    if rows is None:
+        rows = SEARCH_ROWS if pack_s == PACK_S else min(SEARCH_ROWS, 4)
     if tile_j == 0:
         tile_i = min(tile_i, max(128, ((w0 + 127) // 128) * 128))
     else:
@@ -2054,7 +2072,8 @@ def row_minima_stack(
         interpret=interpret,
         engine=engine or DEFAULT_ENGINE,
         reduce=DEFAULT_REDUCE if reduce is None else reduce,
-        rows=SEARCH_ROWS if rows is None else rows,
+        rows=rows,
+        pack_s=pack_s,
     )
 
 
@@ -2075,8 +2094,12 @@ def row_minima_consistency_stack(
     step."""
     _, h, w0 = stack0.shape
     w1 = stack1.shape[2]
-    if max(w0, w1) >= PACK_S:
-        raise ValueError(f"image width >= {PACK_S} not supported by kernel")
+    if max(w0, w1) >= 2 * PACK_S:
+        raise ValueError(
+            f"image width >= {2 * PACK_S} not supported by kernel")
+    pack_s = PACK_S if max(w0, w1) < PACK_S else 2 * PACK_S
+    if rows is None:
+        rows = CONS_ROWS if pack_s == PACK_S else min(CONS_ROWS, 2)
     tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
     return _row_minima_consistency_stack(
         stack0,
@@ -2087,7 +2110,8 @@ def row_minima_consistency_stack(
         tile_j=tile_j,
         interpret=interpret,
         engine=engine or DEFAULT_ENGINE,
-        rows=CONS_ROWS if rows is None else rows,
+        rows=rows,
+        pack_s=pack_s,
     )
 
 

@@ -254,10 +254,11 @@ def fused_stack_search_ok(
 ) -> bool:
     """Eligibility of the fused transform+search kernel: pallas backend, no
     constant descriptor bit (LIMITED n<4, see descriptor.compare_coeffs),
-    and row width inside the kernel's 13-bit column packing."""
+    and row width inside the kernel's column packing (13-bit, or 14-bit
+    for ultra-wide rows in [8192, 16384))."""
     if backend not in ("pallas", "pallas_interpret"):
         return False
-    if width >= 8192:
+    if width >= 16384:
         return False
     from .config import TransformMode
 

@@ -337,3 +337,51 @@ def test_consistency_words_ultrawide_16k_packing(rng):
     rcl_ref = np.take_along_axis(np.asarray(l1r), np.asarray(f0r), axis=1)
     np.testing.assert_array_equal(np.asarray(rc0), rc_ref)
     np.testing.assert_array_equal(np.asarray(rc0l), rcl_ref)
+
+
+def test_fused_stack_ultrawide_matches_words(rng):
+    """Fused transform+search at ultra-wide rows (16384 packing) must match
+    the (xla-verified) wide words kernel bit for bit."""
+    from libbicos_tpu.config import actual_bits
+    from libbicos_tpu.descriptor import descriptor_words
+    from libbicos_tpu.kernels.hamming import (
+        row_minima_pallas_words, row_minima_stack,
+    )
+
+    n, h, w = 5, 2, 8200
+    mode = TransformMode.LIMITED
+    s0 = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    s1 = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    nbits = actual_bits(n, mode)
+    w0 = np.asarray(descriptor_words(s0, mode, min_words=2))
+    w1 = np.asarray(descriptor_words(s1, mode, min_words=2))
+    _, fw, lw = row_minima_pallas_words(
+        w0, w1, nbits=nbits, need_last=True, interpret=True)
+    _, fs, ls = row_minima_stack(
+        s0, s1, mode=mode, need_last=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(fw))
+    np.testing.assert_array_equal(np.asarray(ls), np.asarray(lw))
+
+
+def test_fused_stack_consistency_ultrawide_matches_words(rng):
+    from libbicos_tpu.config import actual_bits
+    from libbicos_tpu.descriptor import descriptor_words
+    from libbicos_tpu.kernels.hamming import (
+        row_minima_consistency_stack, row_minima_consistency_words,
+    )
+
+    n, h, w = 5, 2, 8200
+    mode = TransformMode.LIMITED
+    s0 = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    s1 = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    nbits = actual_bits(n, mode)
+    w0 = np.asarray(descriptor_words(s0, mode, min_words=2))
+    w1 = np.asarray(descriptor_words(s1, mode, min_words=2))
+    (_, fw, lw), (_, rw, rwl) = row_minima_consistency_words(
+        w0, w1, nbits=nbits, no_dupes=True, interpret=True)
+    (_, fs, ls), (_, rs, rsl) = row_minima_consistency_stack(
+        s0, s1, mode=mode, no_dupes=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(fw))
+    np.testing.assert_array_equal(np.asarray(ls), np.asarray(lw))
+    np.testing.assert_array_equal(np.asarray(rs), np.asarray(rw))
+    np.testing.assert_array_equal(np.asarray(rsl), np.asarray(rwl))
