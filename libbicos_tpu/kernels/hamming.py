@@ -72,18 +72,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# packed = s * pack_s + col; exact in f32 for widths < pack_s. The WORDS
-# kernels accept pack_s = PACK_S (default) or 2*PACK_S: at 16384 every
-# packed value still stays an exact f32 integer (|s| <= 256 bits =>
-# |s|*16384 <= 2^22; + col < 2^22 + 2^14; + the 2^23 pad penalty < 2^24),
-# and the col split 256*(col>>8) + (col&255) keeps both factors bf16-exact
-# (col>>8 < 64). Padded columns encode zero bits, so their packed value is
-# col + penalty >= 2^23 — always above any real candidate (<= 2^22 + 2^14).
-# The fused *_stack kernels and the band ring stay at the 8192 packing.
+# packed = s * pack_s + col; exact in f32 for widths < pack_s. ALL kernels
+# here (words, fused *_stack, band ring) accept pack_s = PACK_S (default)
+# or 2*PACK_S via pack_for_width(): at 16384 every packed value still stays
+# an exact f32 integer (|s| <= 256 bits => |s|*16384 <= 2^22; + col < 2^22
+# + 2^14; + the 2^23 pad penalty < 2^24), and the col split
+# 256*(col>>8) + (col&255) keeps both factors bf16-exact (col>>8 < 64).
+# Padded columns encode zero bits, so their packed value is col + penalty
+# >= 2^23 — always above any real candidate (<= 2^22 + 2^14).
 PACK_S = 8192
 # Penalty magnitude for padded columns in the peeled last chunk.
 PAD_PENALTY = float(1 << 23)
 ACC_INIT = float(1 << 24)
+
+
+def pack_for_width(width: int):
+    """Column packing for a row width: ``(pack_s, shift)``.
+
+    Single source of truth for the split ``packed = s*pack_s + col`` shared
+    by the words/stack kernel wrappers, the band-ring kernel, and the W-band
+    sharding decode (``sharding.row_minima_wband``) — encode and decode must
+    byte-match, so every site derives the rule from here. Widths in
+    [PACK_S, 2*PACK_S) use the wide 16384 packing (still exact, see the
+    PACK_S note); wider rows raise, and callers fall back to the XLA path
+    (``search.search_words``).
+    """
+    if width >= 2 * PACK_S:
+        raise ValueError(
+            f"image width >= {2 * PACK_S} not supported by kernel")
+    pack_s = PACK_S if width < PACK_S else 2 * PACK_S
+    return pack_s, pack_s.bit_length() - 1
 
 DEF_TILE_I = 512
 DEF_TILE_J = 512
@@ -274,10 +292,12 @@ def _encode_b_bf16_stack(s_rows, cxb, cyb, nbits: int, col0, u16: bool):
 def _encode_a_bf16_stack(s_tile, cxb, cyb, nbits: int, u16: bool,
                          extras: bool, shift: int = 13):
     """(n, TILE_I) raw samples -> (TILE_I, BPAD) bf16 query encoding:
-    bit -> -8192, no bit -> +8192 (dot emits s*8192 + col when ``extras``
-    puts the [256, 1] col-split coefficients at lanes nbits/nbits+1;
-    ``extras=False`` zeroes them — pure s*8192 dot for the consistency
-    reverse direction)."""
+    bit -> -(1 << shift), no bit -> +(1 << shift), i.e. ±pack_s with
+    ``shift`` = log2(pack_s) (13 for the default 8192 packing, 14 for the
+    wide 16384 one). The dot emits s*pack_s + col when ``extras`` puts the
+    [256, 1] col-split coefficients at lanes nbits/nbits+1;
+    ``extras=False`` zeroes them — a pure s*pack_s dot for the consistency
+    reverse direction."""
     tile_i = s_tile.shape[1]
     bpad = cxb.shape[0]
     xv, yv = _cmp_dots(s_tile.astype(jnp.int32), cxb, cyb, u16, a_side=True)
@@ -462,18 +482,21 @@ def _sweep_minima_bf16(
 
 def _sweep_minima_i8(
     dot_chunk, tile_i: int, tile_j: int, nj: int, w1: int,
-    need_last: bool, reduce: bool, pack_s: int = PACK_S, shift: int = 13,
+    need_last: bool, reduce: bool, pack_s: int = PACK_S,
 ):
     """Shared int32 packed-minima sweep over the right-row chunks.
 
     ``dot_chunk(j)`` must return the (TILE_I, TILE_J) int32 contraction
-    ``s = ham - pop(a)`` for chunk j. Packing is exact integer math:
+    ``s = ham - pop(a)`` for chunk j. Packing is exact integer math, with
+    shift = log2(pack_s) derived here so shift and the pack_s-1 complement
+    can never disagree:
 
-      packed_first = (s << 13) + col          (min keeps smallest col)
-      packed_last  = (s << 13) + (8191 - col) (min keeps largest col)
+      packed_first = (s << shift) + col               (min keeps smallest col)
+      packed_last  = (s << shift) + (pack_s-1 - col)  (min keeps largest col)
 
     Returns the per-query (TILE_I,) packed minima (first, last-or-zeros).
     """
+    shift = pack_s.bit_length() - 1
 
     def iota_j(j):
         return j * tile_j + jax.lax.broadcasted_iota(
@@ -592,7 +615,7 @@ def _minima_kernel_i8(
 
         outf, outl = _sweep_minima_i8(
             dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce,
-            pack_s=pack_s, shift=pack_s.bit_length() - 1,
+            pack_s=pack_s,
         )
         outf_ref[r, i, :] = outf
         outl_ref[r, i, :] = outl
@@ -609,10 +632,13 @@ def _consistency_lookup(
     argmin column. The XLA alternative (``take_along_axis`` over the full
     image) costs ~150 ms at 2200x3300 on TPU — element-wise gathers are the
     architecture's weak spot — so the lookup runs here as an exact one-hot
-    contraction per row tile: packed reverse values (< 2^22) are byte-split
-    into three <=255 rows (bf16-exact), and a (W1PAD, TILE_I) one-hot of
-    the forward argmin columns selects exactly one product per output in
-    f32 accumulation.
+    contraction per row tile: packed reverse values are byte-split into
+    three <=255 rows (bf16-exact), and a (W1PAD, TILE_I) one-hot of the
+    forward argmin columns selects exactly one product per output in f32
+    accumulation. Capacity: three bytes hold values < 2^24 exactly; the
+    wide 16384 packing with rowpen reaches ~2^23 + 2^22 + 2^14, so the
+    split has NO headroom beyond 2^24 — anything that grows packed values
+    (a 4x packing, a larger penalty) must widen this split first.
 
     Runs inside the ``i == ni-1`` grid step, after ``rev_scratch`` holds the
     whole row's reverse minima and ``outf_ref`` the whole row's forward
@@ -625,7 +651,8 @@ def _consistency_lookup(
     nsrc = 2 if no_dupes else 1
 
     # Byte-split value matrix (nsrc*3, W1PAD): rows 3k..3k+2 carry source
-    # k's bytes b0/b1/b2 (values < 2^22 => 3 bytes).
+    # k's bytes b0/b1/b2 (packed values < 2^24 — exactly 3 bytes' capacity;
+    # see the docstring's headroom note).
     rows = []
     for k in range(nsrc):
         v = rev_scratch[src_base + k:src_base + k + 1, :]
@@ -738,7 +765,7 @@ def _minima_kernel_i8_stack(
 
         outf, outl = _sweep_minima_i8(
             dot_chunk, tile_i, tile_j, nj, w1, need_last, reduce,
-            pack_s=pack_s, shift=pack_s.bit_length() - 1,
+            pack_s=pack_s,
         )
         outf_ref[r, i, :] = outf
         outl_ref[r, i, :] = outl
@@ -1542,9 +1569,9 @@ def row_minima_words_band(
     h, w0, nw = words0.shape
     band = words1_band.shape[1]
     # Ultra-wide rings (total width in [8192, 16384)) use the 16384 packing;
-    # derived from the STATIC w1_total so every caller (and the decode in
-    # sharding._ring_minima_packed) can re-derive the same constant.
-    pack_s = PACK_S if w1_total < PACK_S else 2 * PACK_S
+    # derived via pack_for_width from the STATIC w1_total so every caller
+    # (and the decode in sharding._ring_minima_packed) shares the rule.
+    pack_s, _ = pack_for_width(w1_total)
     if not rows and pack_s != PACK_S:
         rows = min(SEARCH_ROWS, 4)
     rows = rows or SEARCH_ROWS
@@ -2052,10 +2079,7 @@ def row_minima_stack(
     batches image rows per grid step."""
     _, h, w0 = stack0.shape
     w1 = stack1.shape[2]
-    if max(w0, w1) >= 2 * PACK_S:
-        raise ValueError(
-            f"image width >= {2 * PACK_S} not supported by kernel")
-    pack_s = PACK_S if max(w0, w1) < PACK_S else 2 * PACK_S
+    pack_s, _ = pack_for_width(max(w0, w1))
     if rows is None:
         rows = SEARCH_ROWS if pack_s == PACK_S else min(SEARCH_ROWS, 4)
     if tile_j == 0:
@@ -2094,10 +2118,7 @@ def row_minima_consistency_stack(
     step."""
     _, h, w0 = stack0.shape
     w1 = stack1.shape[2]
-    if max(w0, w1) >= 2 * PACK_S:
-        raise ValueError(
-            f"image width >= {2 * PACK_S} not supported by kernel")
-    pack_s = PACK_S if max(w0, w1) < PACK_S else 2 * PACK_S
+    pack_s, _ = pack_for_width(max(w0, w1))
     if rows is None:
         rows = CONS_ROWS if pack_s == PACK_S else min(CONS_ROWS, 2)
     tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
@@ -2148,13 +2169,10 @@ def row_minima_consistency_words(
     (default ``BICOS_CONS_ROWS``) batches image rows per grid step."""
     h, w0, _ = words0.shape
     w1 = words1.shape[1]
-    if max(w0, w1) >= 2 * PACK_S:
-        raise ValueError(
-            f"image width >= {2 * PACK_S} not supported by kernel")
     # Ultra-wide rows (>= 8192) use the 16384 packing — still exact f32
     # integers (see the PACK_S note); rows capped to bound the wider VMEM
     # scratch.
-    pack_s = PACK_S if max(w0, w1) < PACK_S else 2 * PACK_S
+    pack_s, _ = pack_for_width(max(w0, w1))
     if rows is None:
         rows = CONS_ROWS if pack_s == PACK_S else min(CONS_ROWS, 2)
     tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
@@ -2228,13 +2246,10 @@ def row_minima_pallas_words(
     step."""
     h, w0, _ = words0.shape
     w1 = words1.shape[1]
-    if max(w0, w1) >= 2 * PACK_S:
-        raise ValueError(
-            f"image width >= {2 * PACK_S} not supported by kernel")
     # Ultra-wide rows (>= 8192) use the 16384 packing — still exact f32
     # integers (see the PACK_S note); rows capped to bound the wider VMEM
     # scratch.
-    pack_s = PACK_S if max(w0, w1) < PACK_S else 2 * PACK_S
+    pack_s, _ = pack_for_width(max(w0, w1))
     if rows is None:
         rows = SEARCH_ROWS if pack_s == PACK_S else min(SEARCH_ROWS, 4)
     tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)

@@ -316,22 +316,21 @@ def _ring_minima_packed(bits0, bits1, need_last, axis_name, ndev, band, w,
     perm = [((d + 1) % ndev, d) for d in range(ndev)]
 
     if backend in ("pallas", "pallas_interpret"):
-        from .kernels.hamming import PACK_S
+        from .kernels.hamming import pack_for_width
 
-        if w >= 2 * PACK_S:
-            # The band kernel packs s * 8192 + col_global (16384 for
-            # ultra-wide rows in [8192, 16384)); beyond that columns would
-            # alias into the cost field (the einsum engine packs into
-            # PACK_K = 32768 and keeps working) — same fallback rule as
-            # search.search_words for the single-chip kernels.
+        try:
+            # pack_for_width is the band kernel's own encode rule — this
+            # decode must byte-match it, so derive both from the shared
+            # helper. It raises for total widths >= 16384: there columns
+            # would alias into the cost field, so fall back to the einsum
+            # engine (packs into PACK_K = 32768 and keeps working) — same
+            # rule as search.search_words for the single-chip kernels.
+            pack_s, _ = pack_for_width(w)
+        except ValueError:
             backend = "xla"
 
     if backend in ("pallas", "pallas_interpret"):
-        from .kernels.hamming import PACK_S, row_minima_words_band
-
-        # Same per-width packing rule the band kernel derives internally
-        # from its static w1_total.
-        pack_s = PACK_S if w < PACK_S else 2 * PACK_S
+        from .kernels.hamming import row_minima_words_band
         nbits = bits0.shape[2]
         words0 = _descriptor.pack_bits(bits0)
         pop0 = _descriptor.popcounts(bits0)

@@ -312,9 +312,12 @@ def test_row_minima_words_ultrawide_16k_packing(rng, engine):
     np.testing.assert_array_equal(np.asarray(l), np.asarray(lr))
 
 
-def test_consistency_words_ultrawide_16k_packing(rng):
+@pytest.mark.parametrize("engine", ["i8", "bf16"])
+def test_consistency_words_ultrawide_16k_packing(rng, engine):
     """Fused consistency kernel at ultra-wide rows: forward minima and the
-    in-kernel reverse lookup must match the two-pass XLA decode."""
+    in-kernel reverse lookup must match the two-pass XLA decode. Both MXU
+    engines — the i8 path's (radd << shift) / pack_s-1 complements / lookup
+    mask were all touched for the 16384 packing."""
     from libbicos_tpu import search
     from libbicos_tpu.config import Consistency
     from libbicos_tpu.kernels.hamming import row_minima_consistency_words
@@ -325,7 +328,7 @@ def test_consistency_words_ultrawide_16k_packing(rng):
     w1 = rng.integers(0, 2**32, (h, w, nw), dtype=np.uint32) & packmask
     variant = Consistency(max_lr_diff=2, no_dupes=True)
     (c0, f0, l0), (_, rc0, rc0l) = row_minima_consistency_words(
-        w0, w1, nbits=nbits, no_dupes=True, interpret=True,
+        w0, w1, nbits=nbits, no_dupes=True, interpret=True, engine=engine,
     )
     # Reference: two XLA passes + gather decode.
     _, f0r, l0r = search.row_minima_xla_words(w0, w1, True, row_chunk=1)
@@ -339,9 +342,10 @@ def test_consistency_words_ultrawide_16k_packing(rng):
     np.testing.assert_array_equal(np.asarray(rc0l), rcl_ref)
 
 
-def test_fused_stack_ultrawide_matches_words(rng):
+@pytest.mark.parametrize("engine", ["i8", "bf16"])
+def test_fused_stack_ultrawide_matches_words(rng, engine):
     """Fused transform+search at ultra-wide rows (16384 packing) must match
-    the (xla-verified) wide words kernel bit for bit."""
+    the (xla-verified) wide words kernel bit for bit, on both MXU engines."""
     from libbicos_tpu.config import actual_bits
     from libbicos_tpu.descriptor import descriptor_words
     from libbicos_tpu.kernels.hamming import (
@@ -356,14 +360,15 @@ def test_fused_stack_ultrawide_matches_words(rng):
     w0 = np.asarray(descriptor_words(s0, mode, min_words=2))
     w1 = np.asarray(descriptor_words(s1, mode, min_words=2))
     _, fw, lw = row_minima_pallas_words(
-        w0, w1, nbits=nbits, need_last=True, interpret=True)
+        w0, w1, nbits=nbits, need_last=True, interpret=True, engine=engine)
     _, fs, ls = row_minima_stack(
-        s0, s1, mode=mode, need_last=True, interpret=True)
+        s0, s1, mode=mode, need_last=True, interpret=True, engine=engine)
     np.testing.assert_array_equal(np.asarray(fs), np.asarray(fw))
     np.testing.assert_array_equal(np.asarray(ls), np.asarray(lw))
 
 
-def test_fused_stack_consistency_ultrawide_matches_words(rng):
+@pytest.mark.parametrize("engine", ["i8", "bf16"])
+def test_fused_stack_consistency_ultrawide_matches_words(rng, engine):
     from libbicos_tpu.config import actual_bits
     from libbicos_tpu.descriptor import descriptor_words
     from libbicos_tpu.kernels.hamming import (
@@ -378,9 +383,9 @@ def test_fused_stack_consistency_ultrawide_matches_words(rng):
     w0 = np.asarray(descriptor_words(s0, mode, min_words=2))
     w1 = np.asarray(descriptor_words(s1, mode, min_words=2))
     (_, fw, lw), (_, rw, rwl) = row_minima_consistency_words(
-        w0, w1, nbits=nbits, no_dupes=True, interpret=True)
+        w0, w1, nbits=nbits, no_dupes=True, interpret=True, engine=engine)
     (_, fs, ls), (_, rs, rsl) = row_minima_consistency_stack(
-        s0, s1, mode=mode, no_dupes=True, interpret=True)
+        s0, s1, mode=mode, no_dupes=True, interpret=True, engine=engine)
     np.testing.assert_array_equal(np.asarray(fs), np.asarray(fw))
     np.testing.assert_array_equal(np.asarray(ls), np.asarray(lw))
     np.testing.assert_array_equal(np.asarray(rs), np.asarray(rw))
