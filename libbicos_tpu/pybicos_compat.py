@@ -189,3 +189,21 @@ def invalid_disparity(dtype):
     if dtype == np.int16:
         return np.int16(-32768)
     raise ValueError(f"Unsupported dtype for invalid_disparity: {dtype}")
+
+
+def float_disparity(disparity) -> np.ndarray:
+    """Reference-CPU-backend output convention (``cpu.cpp:88-94``).
+
+    When a threshold is set without subpixel refinement, the reference CPU
+    backend converts the int16 disparity to float32 via ``convertTo(CV_32F)``
+    — a plain cast, so invalid pixels stay ``-32768.0f`` rather than becoming
+    NaN (the float-invalid convention elsewhere). That sharp edge is the
+    reference's own; this helper reproduces it exactly for callers porting
+    from the CPU build (the engine itself follows the CUDA backend and
+    returns int16, ``cuda.cu:457-458`` — see ``pipeline.match``). Float
+    inputs (subpixel outputs) pass through unchanged.
+    """
+    d = np.asarray(disparity)
+    if d.dtype == np.float32:
+        return d
+    return d.astype(np.float32)

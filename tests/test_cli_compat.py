@@ -195,3 +195,27 @@ def test_cli_prints_license_banner(capsys):
     out = capsys.readouterr()
     assert LICENSE_HEADER in out.out
     assert "stable CLI interface" in out.err
+
+
+def test_pybicos_compat_float_disparity(rng):
+    """float_disparity reproduces the reference CPU backend's convertTo
+    (cpu.cpp:88-94): plain int16 -> float32 cast, invalid stays -32768.0f
+    (NOT NaN — the reference's own quirk); float inputs pass through."""
+    from conftest import make_stack_pair
+
+    import libbicos_tpu as bicos
+    import libbicos_tpu.pybicos_compat as pybicos
+
+    s0, s1, _ = make_stack_pair(rng, 5, 4, 16)
+    disp = np.asarray(bicos.match(
+        s0, s1, bicos.Config(nxcorr_threshold=0.5), backend="xla"))
+    assert disp.dtype == np.int16
+    f = pybicos.float_disparity(disp)
+    assert f.dtype == np.float32
+    np.testing.assert_array_equal(f, disp.astype(np.float32))
+    assert (f[disp == -32768] == -32768.0).all()
+    assert not np.isnan(f).any()
+    sub = np.full((2, 2), np.nan, np.float32)
+    assert pybicos.float_disparity(sub) is not None
+    np.testing.assert_array_equal(
+        np.isnan(pybicos.float_disparity(sub)), np.isnan(sub))
