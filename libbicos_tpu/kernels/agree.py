@@ -57,6 +57,17 @@ SWEEP_UNROLL = int(_os.environ.get("BICOS_SWEEP_UNROLL", "3"))
 # series matrix as centered bytes (v - 128, exact to undo post-dot because
 # each one-hot row has exactly one 1); "bf16" is the original engine.
 AGREE_ENGINE = _os.environ.get("BICOS_AGREE_ENGINE", "bf16")
+# Gather strategy for the matched right-hand series: "mxu" = one-hot MXU
+# contraction (series matrix in VMEM, one (WP, CHUNK) x (128, WP) dot per
+# chunk — cost is H*WP^2*128 MACs regardless of n); "shuffle" = hierarchical
+# tpu.dynamic_gather per 128-lane block (VPU; cost scales with n and the
+# number of gathered sections, so it could in principle win for the
+# integer variant where only n of the 128 dot lanes are useful). Measured
+# (v5e, n=33 integer variant at 2200x3300, 2026-08-18): mxu 68.7 ms vs
+# shuffle 632 ms — the per-block shuffle+select chain is ~9x slower than
+# even a 3/4-wasted MXU dot, so "auto" picks mxu whenever the series
+# sections fit its 128 lanes; "shuffle" remains for n > 42 and diagnostics.
+AGREE_GATHER = _os.environ.get("BICOS_AGREE_GATHER", "auto")
 
 INVALID_I32 = -32768
 
@@ -351,8 +362,8 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
     in_mod = 0xFFFF if stack0.dtype == jnp.uint16 else 0xFF
     # MXU one-hot gather needs the 3n series sections in 128 bf16-exact
     # byte lanes: n <= 42 (u16 runs two byte-split contractions). Larger
-    # stacks use the shuffle fallback.
-    mxu_gather = bool(3 * n <= 128)
+    # stacks use the shuffle fallback; BICOS_AGREE_GATHER=shuffle forces it.
+    mxu_gather = bool(3 * n <= 128) and AGREE_GATHER != "shuffle"
 
     if xs:
         # Pad the grid to a SWEEP_UNROLL multiple with copies of the last x
