@@ -158,3 +158,32 @@ def test_agree_kernel_i8_engine(rng, monkeypatch, dtype):
     m = ~np.isnan(want_d)
     np.testing.assert_array_equal(got_d[m], want_d[m])
     _assert_corr_close(corr, want_c)
+
+
+@pytest.mark.parametrize("step", [None, 0.25])
+def test_agree_kernel_forced_shuffle_small_n(rng, monkeypatch, step):
+    """BICOS_AGREE_GATHER=shuffle forces the dynamic-gather path even where
+    the MXU one-hot would normally run (3n <= 128); parity must hold for
+    both variants. (Kept as a diagnostics knob: measured 632 vs 68.7 ms at
+    n=33 2200x3300 on v5e — MXU stays the default.)"""
+    from libbicos_tpu.kernels import agree as kagree
+
+    monkeypatch.setattr(kagree, "AGREE_GATHER", "shuffle")
+    # Distinct shape: _agree_call's jit cache keys on shapes, not on the
+    # module global mxu_gather is derived from.
+    s0, s1, disp = _disp_for(rng, 7, 4, 36)
+    out, corr = agree_pallas(disp, s0, s1, 0.5, step, None, interpret=True)
+    if step is None:
+        want_d, want_c = oracle.agree(disp.copy(), s0, s1, 0.5, None)
+        out = np.asarray(out)
+        got_i16 = np.where(np.isnan(out), np.int16(-32768),
+                           np.nan_to_num(out).astype(np.int16))
+        np.testing.assert_array_equal(got_i16, want_d)
+    else:
+        want_d, want_c = oracle.agree_subpixel(
+            disp.copy(), s0, s1, 0.5, step, None, np.uint8)
+        got_d = np.asarray(out)
+        assert (np.isnan(got_d) == np.isnan(want_d)).all()
+        m = ~np.isnan(want_d)
+        np.testing.assert_array_equal(got_d[m], want_d[m])
+    _assert_corr_close(corr, want_c)
