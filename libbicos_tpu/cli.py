@@ -40,6 +40,17 @@ from .config import (
 )
 
 
+def _uint(s: str) -> int:
+    """Non-negative int parser: the reference declares -n/-m as
+    cxxopts uint, which rejects negatives at argv-parse time (cli.cpp:67,70).
+    Without this, -m -1 silently invalidates every pixel and -n -2 silently
+    drops trailing images via negative slicing."""
+    v = int(s)
+    if v < 0:
+        raise argparse.ArgumentTypeError(f"must be non-negative, got {s}")
+    return v
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="bicos",
@@ -55,7 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--threshold", type=float, default=0.75,
                    help="Minimum normalized cross correlation for a match "
                    "to be accepted. Set to 0.0 to disable. (default: 0.75)")
-    p.add_argument("-v", "--variance", type=float, default=1.0,
+    # The reference declares default_value("1.0") but only APPLIES it when
+    # the flag is explicitly passed (cli.cpp:158-160 guards on
+    # args.count("variance"), which stays 0 for a cxxopts default) — so a
+    # default run has NO variance prefilter. None = not passed.
+    p.add_argument("-v", "--variance", type=float, default=None,
                    help="Minimum intensity variance. Only active with "
                    "--threshold. (default: 1.0)")
     p.add_argument("-s", "--step", type=float, default=None,
@@ -64,7 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", default="bicosdisp.png",
                    help="Output file for disparity image. "
                    "(default: bicosdisp.png)")
-    p.add_argument("-n", "--stacksize", type=int, default=None,
+    p.add_argument("-n", "--stacksize", type=_uint, default=None,
                    help="Number of images to process. Defaults to all found "
                    "in the input folders.")
     p.add_argument("-q", "--qmatrix", default=None,
@@ -73,7 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--allow-negative-z", action="store_true",
                    help="Allow for points with negative Z values in the "
                    "pointcloud output. Only effective with a given qmatrix.")
-    p.add_argument("-m", "--lr-maxdiff", type=int, default=None,
+    p.add_argument("-m", "--lr-maxdiff", type=_uint, default=None,
                    help="Maximum disparity difference between left and right "
                    "image. Enabling this disables duplicate filtering.")
     p.add_argument("--double", action="store_true",

@@ -161,9 +161,11 @@ def save_image(image: np.ndarray, outfile, colormap: str = "turbo") -> None:
         lo, hi = 0.0, 1.0
     scale = 255.0 / (hi - lo) if hi > lo else 0.0
     # NaNs (float INVALID) would trip the uint8 cast; zero them first —
-    # they are masked to black below anyway.
+    # they are masked to black below anyway. cv::normalize quantizes with a
+    # rounding saturate_cast (cvRound = half-to-even), not a truncation —
+    # np.rint matches it so the colorized PNG is byte-identical.
     shifted = np.where(mask, 0.0, (vals - lo) * scale)
-    norm = np.clip(shifted, 0, 255).astype(np.uint8)
+    norm = np.clip(np.rint(shifted), 0, 255).astype(np.uint8)
     norm[mask] = 0
     if _HAS_CV2:
         cmap = {"turbo": cv2.COLORMAP_TURBO, "jet": cv2.COLORMAP_JET,
@@ -234,9 +236,10 @@ def save_pointcloud(
     dispf = disp.astype(np.float32, copy=True)
     dispf[_invalid_mask(disp)] = np.nan
     n = _native.write_xyz(outfile, points, dispf, allow_negative_z)
+    valid = ~_invalid_mask(disp)
+    finite = np.isfinite(points).all(axis=1)
     if n is None:
-        ok = ~_invalid_mask(disp)
-        ok &= np.isfinite(points).all(axis=1)
+        ok = valid & finite
         if not allow_negative_z:
             ok &= points[:, 2] >= 0  # z < 0 skipped; z == 0 kept (reference)
         kept = points[ok]
@@ -244,14 +247,23 @@ def save_pointcloud(
             for x, y, z in kept:
                 f.write(f"{x} {y} {z}\n")
         n = int(kept.shape[0])
-    skipped = int(disp.size - n)
-    # Reference wording (fileutils.hpp:85) + a skip summary like its
-    # stderr counters (fileutils.hpp:86-88).
+    # Reference counters (fileutils.hpp:67-88): invalid-disparity pixels are
+    # skipped SILENTLY; only non-finite and negative-Z points among
+    # valid-disparity pixels are reported, on separate stderr lines, each
+    # only when nonzero — exact wording preserved for log scrapers.
+    n_nonfinite = int((valid & ~finite).sum())
+    n_negative_z = 0
+    if not allow_negative_z:
+        n_negative_z = int((valid & finite & (points[:, 2] < 0)).sum())
     print(f"Saved pointcloud in ascii-format to\t{outfile}")
-    if skipped:
-        import sys
+    import sys
 
-        print(f"Skipped {skipped} points", file=sys.stderr)
+    if n_nonfinite:
+        print(f"Skipped {n_nonfinite} points with non-finite fp values",
+              file=sys.stderr)
+    if n_negative_z:
+        print(f"Skipped {n_negative_z} points with negative Z values",
+              file=sys.stderr)
     return n
 
 

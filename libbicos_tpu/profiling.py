@@ -73,14 +73,23 @@ def stage_timings(stack0, stack1, cfg=None, *, backend: str = "auto") -> Dict:
             a, s1, cfg.mode, cfg.variant, backend=backend))
         t_search = timed(sf, 2)
     else:
-        tf = jax.jit(lambda s: _descriptor.descriptor_bits(s, cfg.mode))
-        bits1 = jax.block_until_ready(tf(s1))
+        # Time the PRODUCTION transform (packed-words single pass, as
+        # pipeline._match_impl runs it) — not the debug bit-plane surface:
+        # descriptor_bits + pack_bits materializes (H, W, B) bool and
+        # (H, W, nw, 32) uint32 intermediates (multi-GB at headline sizes)
+        # that the real pipeline never allocates, so timing it would report
+        # a code path production doesn't execute and can OOM where the
+        # pipeline fits.
+        from .config import actual_bits
+
+        nbits = actual_bits(s0.shape[0], cfg.mode)
+        tf = jax.jit(lambda s: _descriptor.descriptor_words(
+            s, cfg.mode, min_words=2))
+        words1 = jax.block_until_ready(tf(s1))
         t_transform = 2 * timed(tf, 1)
 
-        sf = jax.jit(
-            lambda a: _search.search(
-                tf(a), bits1, cfg.variant, backend=backend)
-        )
+        sf = jax.jit(lambda a: _search.search_words(
+            tf(a), words1, nbits, cfg.variant, backend=backend))
         t_search = timed(sf, 2) - t_transform / 2
     disp = jax.block_until_ready(sf(s0))
 

@@ -45,7 +45,9 @@ Endpoints:
   ``no_dupes``, ``corrmap``). Response: npz with ``disparity`` (and
   ``corrmap`` if requested).
 * ``GET /healthz`` — liveness + compiled-specialization count, JSON.
-* ``POST /warmup?shape=NxHxW&dtype=u8`` — precompile a specialization.
+* ``POST /warmup?shape=NxHxW&dtype=u8`` — precompile a specialization;
+  accepts the same config-override params as ``/match`` (including
+  ``corrmap``, which is its own jit specialization).
 """
 
 from __future__ import annotations
@@ -135,9 +137,19 @@ class Engine:
         return len(self._compiled)
 
 
-def _cfg_from_params(base: Config, params: Dict[str, list]) -> Config:
+def _bool_param(s: str) -> bool:
+    """Boolean query-param parsing that also understands Python/JSON
+    spellings: a hand-rolled client sending ``?limited=False`` (str(False))
+    must not silently flip the flag ON."""
+    return s.strip().lower() not in ("0", "false", "no", "off", "")
+
+
+def _cfg_from_params(base: Config, params: Dict[str, list],
+                     want_corrmap: bool = False) -> Config:
     """Apply CLI-style query-param overrides to ``base`` (same semantics as
-    the reference CLI flags, cli.cpp:137-166)."""
+    the reference CLI flags, cli.cpp:137-166, including the 'corrmap forces
+    threshold -1' rule, cli.cpp:146-149 — without it a corrmap request with
+    thresholding disabled would be unservable)."""
 
     def one(name, cast):
         vals = params.get(name)
@@ -153,17 +165,19 @@ def _cfg_from_params(base: Config, params: Dict[str, list]) -> Config:
     var = one("variance", float)
     if var is not None:
         cfg = replace(cfg, min_variance=var)
-    lim = one("limited", lambda s: s not in ("0", "false"))
+    lim = one("limited", _bool_param)
     if lim is not None:
         cfg = replace(
             cfg, mode=TransformMode.LIMITED if lim else TransformMode.FULL
         )
     lr = one("lr_maxdiff", int)
-    nd = one("no_dupes", lambda s: s not in ("0", "false"))
+    nd = one("no_dupes", _bool_param)
     if lr is not None:
         cfg = replace(cfg, variant=Consistency(lr, bool(nd)))
     elif nd:
         cfg = replace(cfg, variant=NoDuplicates())
+    if want_corrmap and cfg.nxcorr_threshold is None:
+        cfg = replace(cfg, nxcorr_threshold=-1.0)
     return cfg
 
 
@@ -205,8 +219,13 @@ def make_handler(engine: Engine):
                     if dtype_s not in _DTYPES:
                         raise ValueError(f"unknown dtype {dtype_s!r}")
                     dtype = _DTYPES[dtype_s]
-                    cfg = _cfg_from_params(engine.cfg, params)
-                    engine.warmup(shape, dtype, cfg)
+                    # corrmap is a separate jit specialization
+                    # (pipeline._match_jit statics) — warmup must honor it
+                    # or the first corrmap match stalls on a full compile.
+                    want_corr = _bool_param(
+                        params.get("corrmap", ["0"])[0])
+                    cfg = _cfg_from_params(engine.cfg, params, want_corr)
+                    engine.warmup(shape, dtype, cfg, corrmap=want_corr)
                     self._json(200, {"compiled": engine.compiled_count})
                     return
                 if url.path != "/match":
@@ -215,9 +234,8 @@ def make_handler(engine: Engine):
                 length = int(self.headers.get("Content-Length", "0"))
                 data = np.load(io.BytesIO(self.rfile.read(length)))
                 s0, s1 = data["stack0"], data["stack1"]
-                cfg = _cfg_from_params(engine.cfg, params)
-                want_corr = params.get("corrmap", ["0"])[0] not in (
-                    "0", "false")
+                want_corr = _bool_param(params.get("corrmap", ["0"])[0])
+                cfg = _cfg_from_params(engine.cfg, params, want_corr)
                 out = engine.match(s0, s1, cfg, corrmap=want_corr)
                 buf = io.BytesIO()
                 if want_corr:

@@ -16,7 +16,10 @@ def test_cli_defaults_differ_from_library():
     cfg = _cfg([])
     assert cfg.nxcorr_threshold == 0.75  # cli.cpp:63 (library: 0.5)
     assert cfg.mode == TransformMode.FULL  # cli.cpp:139 (library: LIMITED)
-    assert cfg.min_variance == 1.0  # cli default variance
+    # The reference's default_value("1.0") is never APPLIED unless -v is
+    # explicitly passed (cli.cpp:158-160 guards on args.count("variance"),
+    # 0 for a cxxopts default) — default runs have no variance prefilter.
+    assert cfg.min_variance is None
     assert isinstance(cfg.variant, NoDuplicates)
     lib = Config()
     assert lib.nxcorr_threshold == 0.5
@@ -219,3 +222,18 @@ def test_pybicos_compat_float_disparity(rng):
     assert pybicos.float_disparity(sub) is not None
     np.testing.assert_array_equal(
         np.isnan(pybicos.float_disparity(sub)), np.isnan(sub))
+
+
+def test_cli_variance_explicit_sets():
+    cfg = _cfg(["-v", "2.5"])
+    assert cfg.min_variance == 2.5
+
+
+def test_cli_rejects_negative_uint_flags(capsys):
+    """-m and -n are uint in the reference (cli.cpp:67,70): cxxopts rejects
+    negatives at parse time. Without the guard, -m -1 silently invalidates
+    every pixel and -n -2 silently drops trailing images."""
+    for argv in (["folder", "-m", "-1"], ["folder", "-n", "-2"]):
+        with pytest.raises(SystemExit):
+            build_parser().parse_args(argv)
+        capsys.readouterr()

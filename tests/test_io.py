@@ -130,3 +130,26 @@ def test_synthetic_stack_pair_recoverable():
     interior = valid & (np.arange(48)[None, :] >= disp)
     agree = (got == disp) & interior
     assert agree.sum() / interior.sum() > 0.95
+
+
+def test_pointcloud_skip_counters_match_reference(tmp_path, capsys):
+    """Reference counters (fileutils.hpp:67-88): invalid-disparity pixels
+    skip SILENTLY; only non-finite and negative-Z points among
+    valid-disparity pixels print, on separate stderr lines with the
+    reference wording, each only when nonzero."""
+    q = np.eye(4, dtype=np.float64)
+    # row0: valid + z>0 (kept), invalid (silent skip)
+    # row1: valid + z<0 (counted), valid but non-finite point (counted)
+    disp = np.array([[1.0, np.nan], [-2.0, 3.0]], dtype=np.float32)
+    pts = bio.reproject_image_to_3d(disp, q)
+    pts[1, 1, 0] = np.inf  # non-finite point at a valid disparity
+    n = bio.save_pointcloud(pts, disp, tmp_path / "c.xyz")
+    assert n == 1
+    err = capsys.readouterr().err
+    assert "Skipped 1 points with non-finite fp values" in err
+    assert "Skipped 1 points with negative Z values" in err
+    # All-clean input: no stderr at all (the invalid pixel stays silent).
+    disp2 = np.array([[1.0, np.nan]], dtype=np.float32)
+    pts2 = bio.reproject_image_to_3d(disp2, q)
+    bio.save_pointcloud(pts2, disp2, tmp_path / "c2.xyz")
+    assert capsys.readouterr().err == ""

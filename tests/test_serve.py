@@ -199,3 +199,57 @@ def test_engine_sharded_mesh(rng):
     got = engine.match(s0, s1)
     want = np.asarray(bicos.match(s0, s1, cfg, backend="xla"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_match_corrmap_without_threshold(server, rng):
+    """corrmap with thresholding disabled must serve: the CLI's 'corrmap
+    forces threshold -1' rule (cli.cpp:146-149) applies to query params
+    too — previously this combination 400'd as unservable."""
+    base, _ = server
+    s0, s1 = _stacks(rng)
+    status, body = _post(
+        base + "/match?threshold=0&corrmap=1", _npz(stack0=s0, stack1=s1))
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    want_d, want_c = bicos.match(
+        s0, s1, bicos.Config(nxcorr_threshold=-1.0, min_variance=1.0),
+        corrmap=True, backend="xla",
+    )
+    np.testing.assert_array_equal(out["disparity"], np.asarray(want_d))
+    np.testing.assert_array_equal(out["corrmap"], np.asarray(want_c))
+
+
+def test_bool_params_accept_python_spellings(server, rng):
+    """?limited=False (str(False) from a hand-rolled client) must NOT flip
+    the flag on; same for no_dupes/corrmap."""
+    base, _ = server
+    s0, s1 = _stacks(rng)
+    status, body = _post(
+        base + "/match?limited=False&corrmap=False",
+        _npz(stack0=s0, stack1=s1))
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    assert "corrmap" not in out.files  # corrmap=False honored
+    from libbicos_tpu.config import TransformMode
+
+    want = np.asarray(bicos.match(
+        s0, s1, bicos.Config(nxcorr_threshold=0.5, min_variance=1.0,
+                             mode=TransformMode.FULL),
+        backend="xla",
+    ))  # limited=False forces FULL (engine default here is LIMITED);
+    # the old parser read "False" as true and stayed LIMITED
+    np.testing.assert_array_equal(out["disparity"], want)
+
+
+def test_warmup_compiles_corrmap_specialization(server):
+    """corrmap is part of the jit-specialization key; /warmup?corrmap=1
+    must compile it (previously ignored, so the first corrmap match paid
+    the full compile)."""
+    base, engine = server
+    before = engine.compiled_count
+    status, body = _post(base + "/warmup?shape=4x8x24&dtype=u8&corrmap=1",
+                         b"")
+    assert status == 200
+    assert engine.compiled_count == before + 1
+    key_corr = [k for k in engine._compiled if k[-1]]
+    assert key_corr, "no corrmap=True specialization registered"
