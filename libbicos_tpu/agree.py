@@ -55,7 +55,6 @@ def _stats(series_f, dtype):
     product into the reduction as an fma — both shift results by 1 ulp vs
     the reference arithmetic.
     """
-    import jax
 
     n = series_f.shape[0]
     mean = jnp.sum(series_f, axis=0) / jax.lax.optimization_barrier(dtype(n))
@@ -67,13 +66,9 @@ def _stats(series_f, dtype):
 def _nxcorr_from(diff0, var0, series1_f, minvar, dtype):
     """NXCORR of cached left stats against a right series (agree.hpp:28-51)."""
     _, diff1, var1 = _stats(series1_f, dtype)
-    import jax
-
     covar = jnp.sum(jax.lax.optimization_barrier(diff0 * diff1), axis=0)
     # Barrier: XLA may rewrite x/sqrt(y) into x*rsqrt(y)+refinement under
     # --xla_allow_excess_precision, off by 1 ulp (v/sqrt(v*v) != 1).
-    import jax
-
     nxc = covar / jax.lax.optimization_barrier(jnp.sqrt(var0 * var1))
     if minvar is not None:
         bad = (var0 < dtype(minvar)) | (var1 < dtype(minvar))

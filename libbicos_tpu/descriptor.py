@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import List
 
+import jax
 import jax.numpy as jnp
 
 from .config import TransformMode, actual_bits
@@ -106,7 +107,12 @@ def descriptor_bits(stack, mode: TransformMode):
         raise ValueError("need at least two images")
     s32 = stack.astype(jnp.int32)
     sf = stack.astype(jnp.float32)
-    av = jnp.sum(sf, axis=0) / jnp.float32(n)
+    # Barrier: XLA may strength-reduce /n into a reciprocal multiply
+    # (1 ulp off a correctly rounded divide); flat series sit exactly
+    # on the a < av tie boundary, so that ulp flips mean-comparison
+    # bits vs the reference (same guard as agree._stats).
+    av = jnp.sum(sf, axis=0) / jax.lax.optimization_barrier(
+        jnp.float32(n))
     if mode == TransformMode.FULL:
         bits = _full_bits(s32, sf, av)
     else:
@@ -133,7 +139,12 @@ def descriptor_words(stack, mode: TransformMode, min_words: int = 1):
         raise ValueError("need at least two images")
     s32 = stack.astype(jnp.int32)
     sf = stack.astype(jnp.float32)
-    av = jnp.sum(sf, axis=0) / jnp.float32(n)
+    # Barrier: XLA may strength-reduce /n into a reciprocal multiply
+    # (1 ulp off a correctly rounded divide); flat series sit exactly
+    # on the a < av tie boundary, so that ulp flips mean-comparison
+    # bits vs the reference (same guard as agree._stats).
+    av = jnp.sum(sf, axis=0) / jax.lax.optimization_barrier(
+        jnp.float32(n))
     if mode == TransformMode.FULL:
         bits = _full_bits(s32, sf, av)
     else:

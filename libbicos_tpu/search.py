@@ -53,6 +53,22 @@ INVALID_I16 = jnp.int16(-32768)
 PACK_K = 32768
 
 
+def decode_packed_minima(mf, ml, w1: int, need_last: bool):
+    """Decode the PACK_K packings ``mf = cost*PACK_K + col`` and
+    ``ml = cost*PACK_K + (w1-1-col)`` into ``(cost, first, last-or-None)``.
+
+    Single decode shared by the XLA row scan here and the W-band ring
+    (``sharding._ring_minima`` / ``row_minima_wband``) so the encode and
+    decode rules cannot drift apart."""
+    cost = mf // PACK_K
+    first = mf - cost * PACK_K
+    if need_last:
+        last = (w1 - 1) - (ml - (ml // PACK_K) * PACK_K)
+    else:
+        last = None
+    return cost, first, last
+
+
 def _row_chunk_minima(w0, w1, need_last: bool):
     """Minima for one chunk of rows via direct XOR+popcount (int32 exact).
 
@@ -121,13 +137,7 @@ def row_minima_xla_words(
     )
     mf = mf.reshape(-1, w0)[:h]
     ml = ml.reshape(-1, w0)[:h]
-    cost = mf // PACK_K
-    first = mf - cost * PACK_K
-    if need_last:
-        last = (w1 - 1) - (ml - (ml // PACK_K) * PACK_K)
-    else:
-        last = None
-    return cost, first, last
+    return decode_packed_minima(mf, ml, w1, need_last)
 
 
 def _row_minima_w(words0, words1, nbits, need_last: bool, backend: str):

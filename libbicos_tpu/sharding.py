@@ -63,6 +63,11 @@ def make_mesh(
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
+    if n_devices > len(devs):
+        # Silently truncating would attribute scaling numbers to a device
+        # count that was never used.
+        raise ValueError(
+            f"requested {n_devices} devices but only {len(devs)} available")
     return Mesh(np.array(devs[:n_devices]), (axis_name,))
 
 
@@ -100,6 +105,27 @@ def _precision_scope(cfg: Config):
     return contextlib.nullcontext()
 
 
+@functools.lru_cache(maxsize=None)
+def _hband_run(mesh: Mesh, axis_name: str, cfg: Config, corrmap: bool,
+               backend: str):
+    """Jitted H-band pipeline, cached per (mesh, cfg, corrmap, backend).
+
+    The jit wrapper must be a long-lived object: a fresh ``jax.jit`` per
+    call would key its trace cache on a new function identity every time
+    and re-trace + recompile the whole sharded pipeline on every invocation
+    (minutes on TPU) — defeating serve.Engine's warm-pipeline contract.
+    Shape specialization still happens inside this one wrapper's cache."""
+    fn = shard_map(
+        lambda a, b: _match_impl(a, b, cfg, corrmap, backend),
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
+        out_specs=(P(axis_name, None),
+                   P(axis_name, None) if corrmap else P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
 def match_sharded(
     stack0,
     stack1,
@@ -128,19 +154,7 @@ def match_sharded(
     h = stack0.shape[1]
 
     backend = _search.resolve_backend(backend)
-
-    @functools.partial(jax.jit, static_argnums=())
-    def run(s0, s1):
-        fn = shard_map(
-            lambda a, b: _match_impl(a, b, cfg, corrmap, backend),
-            mesh=mesh,
-            in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
-            out_specs=(P(axis_name, None),
-                       P(axis_name, None) if corrmap else P()),
-            check_rep=False,
-        )
-        return fn(s0, s1)
-
+    run = _hband_run(mesh, axis_name, cfg, corrmap, backend)
     sharding = NamedSharding(mesh, P(None, axis_name, None))
     s0 = jax.device_put(stack0, sharding)
     s1 = jax.device_put(stack1, sharding)
@@ -202,9 +216,6 @@ def match_sharded_w(
     Functional parity path for the SURVEY section 5 "long-context" plan;
     H-banding (:func:`match_sharded`) remains the zero-communication default.
     """
-    from . import agree as _agree
-    from .config import NoDuplicates, Consistency, Precision
-
     backend = _search.resolve_backend(backend)
     if mesh is None:
         mesh = make_mesh()
@@ -215,14 +226,39 @@ def match_sharded_w(
     stack1 = jnp.asarray(stack1)
     _validate_match_args(stack0, stack1, cfg, corrmap)
     n, h, w = stack0.shape
-    if w > PACK_K:
-        # The ring reduction packs cost * PACK_K + col; wider rows would
-        # alias columns into the cost field and corrupt minima silently.
-        raise ValueError(f"image width > {PACK_K} not supported")
+    if w >= PACK_K:
+        # The ring reduction packs cost * PACK_K + col, so wider rows would
+        # alias columns into the cost field; w == PACK_K exactly is also
+        # rejected because _agree_banded's int16 local-disparity shift can
+        # then collide with the -32768 invalid sentinel on a valid pixel.
+        raise ValueError(f"image width >= {PACK_K} not supported")
     s0p, padw = _pad_rows(stack0, 2, ndev)
     s1p, _ = _pad_rows(stack1, 2, ndev)
     wp = s0p.shape[2]
     band = wp // ndev
+
+    run = _wband_run(mesh, axis_name, cfg, backend, band, w, n)
+    sharding = NamedSharding(mesh, P(None, None, axis_name))
+    s0d = jax.device_put(s0p, sharding)
+    s1d = jax.device_put(s1p, sharding)
+    with _precision_scope(cfg):
+        out, corr = run(s0d, s1d)
+    out = out[:, :w]
+    corr = corr[:, :w]
+    if corrmap:
+        return out, corr
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _wband_run(mesh: Mesh, axis_name: str, cfg: Config, backend: str,
+               band: int, w: int, n: int):
+    """Jitted W-band pipeline, cached like :func:`_hband_run` (``band``,
+    ``w`` and ``n`` are baked into the traced closure, so they are part of
+    the cache key)."""
+    from .config import NoDuplicates, Consistency
+
+    ndev = mesh.devices.size
     variant = cfg.variant
     nodupes = isinstance(variant, NoDuplicates) or (
         isinstance(variant, Consistency) and variant.no_dupes
@@ -274,22 +310,13 @@ def match_sharded_w(
             disp, s0_local, s1_full, col0, cfg, minvar)
         return out, corr
 
-    sharding = NamedSharding(mesh, P(None, None, axis_name))
-    s0d = jax.device_put(s0p, sharding)
-    s1d = jax.device_put(s1p, sharding)
-    with _precision_scope(cfg):
-        out, corr = jax.jit(shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(P(None, None, axis_name), P(None, None, axis_name)),
-            out_specs=(P(None, axis_name), P(None, axis_name)),
-            check_rep=False,
-        ))(s0d, s1d)
-    out = out[:, :w]
-    corr = corr[:, :w]
-    if corrmap:
-        return out, corr
-    return out
+    return jax.jit(shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, None, axis_name), P(None, None, axis_name)),
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+        check_rep=False,
+    ))
 
 
 def _ring_minima_packed(bits0, bits1, need_last, axis_name, ndev, band, w,
@@ -389,14 +416,9 @@ def _ring_minima(bits0, bits1, need_last, axis_name, ndev, band, w,
                  backend: str = "xla"):
     """Decoded (cost, first, last) ring minima (see
     :func:`_ring_minima_packed`)."""
-    from .search import PACK_K
-
     mf, ml = _ring_minima_packed(
         bits0, bits1, need_last, axis_name, ndev, band, w, backend)
-    cost = mf // PACK_K
-    first = mf - cost * PACK_K
-    last = (w - 1) - (ml - (ml // PACK_K) * PACK_K) if need_last else None
-    return cost, first, last
+    return _search.decode_packed_minima(mf, ml, w, need_last)
 
 
 def _agree_banded(disp, stack0_local, stack1_full, col0, cfg: Config, minvar):
@@ -447,13 +469,13 @@ def row_minima_wband(
     """
     (axis_name,) = mesh.axis_names
     ndev = mesh.devices.size
-    h, w0, b = bits0.shape
+    _, w0, _ = bits0.shape
     w1 = bits1.shape[1]
     if max(w0, w1) > PACK_K:
         raise ValueError(f"image width > {PACK_K} not supported")
 
-    padded0, pad0 = _pad_rows(bits0, 1, ndev)
-    padded1, pad1 = _pad_rows(bits1, 1, ndev)
+    padded0, _ = _pad_rows(bits0, 1, ndev)
+    padded1, _ = _pad_rows(bits1, 1, ndev)
     band1 = padded1.shape[1] // ndev
 
     def shard_fn(b0, b1):
@@ -471,13 +493,7 @@ def row_minima_wband(
 
     mf = mf[:, :w0]
     ml = ml[:, :w0]
-    cost = mf // PACK_K
-    first = mf - cost * PACK_K
-    if need_last:
-        last = (w1 - 1) - (ml - (ml // PACK_K) * PACK_K)
-    else:
-        last = None
-    return cost, first, last
+    return _search.decode_packed_minima(mf, ml, w1, need_last)
 
 
 def _band_cost(bits0, bits1, backend: str):

@@ -228,3 +228,26 @@ def test_match_sharded_double_precision(rng, mesh):
                            backend="xla")
     np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
     np.testing.assert_array_equal(np.asarray(gc), np.asarray(wc))
+
+
+def test_match_sharded_reuses_jit_cache(rng):
+    """The sharded entry points must NOT rebuild jax.jit per call — a fresh
+    wrapper keys the trace cache on a new function identity and recompiles
+    the whole pipeline every invocation (minutes on TPU), defeating
+    serve.Engine's warm-pipeline contract."""
+    from conftest import make_stack_pair
+    from libbicos_tpu.sharding import _hband_run, make_mesh, match_sharded
+
+    mesh = make_mesh(2)
+    cfg = Config(nxcorr_threshold=0.5)
+    s0, s1, _ = make_stack_pair(rng, 4, 8, 24)
+    _hband_run.cache_clear()
+    a = match_sharded(s0, s1, cfg, mesh=mesh, backend="xla")
+    b = match_sharded(s0, s1, cfg, mesh=mesh, backend="xla")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    info = _hband_run.cache_info()
+    assert info.misses == 1 and info.hits >= 1
+    run = _hband_run(mesh, "rows", cfg, False, "xla")
+    size = getattr(run, "_cache_size", lambda: None)()
+    if size is not None:  # one shape specialization, reused across calls
+        assert size == 1
