@@ -40,10 +40,13 @@ Usage::
 Endpoints:
 
 * ``POST /match`` — body: npz with ``stack0``, ``stack1`` ``(n, H, W)``
-  arrays; optional query params override the engine's default config
-  (``threshold``, ``step``, ``variance``, ``limited``, ``lr_maxdiff``,
-  ``no_dupes``, ``corrmap``). Response: npz with ``disparity`` (and
-  ``corrmap`` if requested).
+  arrays — or ``(batch, n, H, W)`` for the batched throughput layout
+  (``match_batched`` / ``match_batched_sharded``: batch folded into the
+  row axis, one launch per request); optional query params override the
+  engine's default config (``threshold``, ``step``, ``variance``,
+  ``limited``, ``lr_maxdiff``, ``no_dupes``, ``corrmap``). Response: npz
+  with ``disparity`` (and ``corrmap`` if requested), batch-shaped when the
+  input was batched.
 * ``GET /healthz`` — liveness + compiled-specialization count, JSON.
 * ``POST /warmup?shape=NxHxW&dtype=u8`` — precompile a specialization;
   accepts the same config-override params as ``/match`` (including
@@ -95,15 +98,18 @@ class Engine:
         self._compiled: Dict[tuple, bool] = {}
 
     def _run(self, s0, s1, cfg: Config, corrmap: bool):
-        from . import match
-        from .sharding import match_sharded
+        from . import match, match_batched
+        from .sharding import match_batched_sharded, match_sharded
 
+        batched = s0.ndim == 4  # (batch, n, H, W): throughput layout
         if self.mesh is not None:
-            return match_sharded(
+            fn = match_batched_sharded if batched else match_sharded
+            return fn(
                 s0, s1, cfg, mesh=self.mesh, corrmap=corrmap,
                 backend=self.backend,
             )
-        return match(s0, s1, cfg, corrmap=corrmap, backend=self.backend)
+        fn = match_batched if batched else match
+        return fn(s0, s1, cfg, corrmap=corrmap, backend=self.backend)
 
     def match(self, s0: np.ndarray, s1: np.ndarray,
               cfg: Optional[Config] = None, *, corrmap: bool = False):
@@ -272,8 +278,9 @@ _DTYPES = {"u8": "uint8", "uint8": "uint8", "u16": "uint16",
 def _parse_warmup(spec: str):
     shape_s, _, dtype_s = spec.partition(":")
     shape = tuple(int(x) for x in shape_s.split("x"))
-    if len(shape) != 3:
-        raise ValueError(f"warmup shape must be NxHxW, got {spec!r}")
+    if len(shape) not in (3, 4):
+        raise ValueError(
+            f"warmup shape must be NxHxW or BxNxHxW, got {spec!r}")
     dtype = _DTYPES.get(dtype_s or "u8")
     if dtype is None:
         raise ValueError(

@@ -253,3 +253,28 @@ def test_warmup_compiles_corrmap_specialization(server):
     assert engine.compiled_count == before + 1
     key_corr = [k for k in engine._compiled if k[-1]]
     assert key_corr, "no corrmap=True specialization registered"
+
+
+def test_match_batched_over_http(server, rng):
+    """(batch, n, H, W) bodies route through the batched throughput layout
+    and come back batch-shaped, equal per-pair to single matches."""
+    base, _ = server
+    s0, s1 = _stacks(rng)
+    b0 = np.stack([s0, s0 ^ np.uint8(3)])
+    b1 = np.stack([s1, s1])
+    status, body = _post(base + "/match", _npz(stack0=b0, stack1=b1))
+    assert status == 200
+    out = np.load(io.BytesIO(body))["disparity"]
+    assert out.shape == (2, s0.shape[1], s0.shape[2])
+    cfg = bicos.Config(nxcorr_threshold=0.5, min_variance=1.0)
+    for k in range(2):
+        want = np.asarray(bicos.match(b0[k], b1[k], cfg, backend="xla"))
+        np.testing.assert_array_equal(out[k], want)
+
+
+def test_warmup_batched_shape(server):
+    base, engine = server
+    before = engine.compiled_count
+    status, _ = _post(base + "/warmup?shape=3x4x8x24&dtype=u8", b"")
+    assert status == 200
+    assert engine.compiled_count == before + 1
