@@ -6,11 +6,13 @@ breaks either is otherwise invisible until the end of a round. These tests
 exercise both under the suite's own 8-device CPU mesh (conftest.py).
 """
 
+import os
 import sys
 from pathlib import Path
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -32,6 +34,11 @@ def test_entry_compiles_and_runs():
     assert bool(np.isfinite(corr[valid]).all())
 
 
+@pytest.mark.skipif(
+    os.environ.get("BICOS_TEST_PLATFORM", "cpu") != "cpu",
+    reason="dryrun_multichip pins jax_platforms='cpu' process-globally, which "
+    "conflicts with running the suite on a real platform (BICOS_TEST_PLATFORM)",
+)
 def test_dryrun_multichip_8():
     # Includes internal exact-equality asserts: W-band ring vs single-chip
     # minima, H-/W-banded and batched pipelines vs the unsharded match.
