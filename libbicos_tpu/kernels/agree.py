@@ -13,11 +13,28 @@ measured ~1.8 s at 33x2200x3300. Here the whole stereo row pair lives in
 VMEM, the matched series are gathered on-chip, and the x sweep runs out of
 registers.
 
-Gather strategy: Mosaic's lane shuffle (``tpu.dynamic_gather``) only spans a
-single 128-lane vreg, so the row gather is hierarchical — for each 128-wide
-output chunk, loop over the W/128 source blocks, shuffle within the block,
-and select where the index's block id matches. One shuffle+select pair per
-(output chunk x source block).
+Gather strategies (BICOS_AGREE_GATHER), fastest first:
+
+* ``window`` (default via ``auto``): the gather is restructured as a
+  *grouped* one-hot contraction. The wrapper pre-builds a windowed series
+  matrix ``s1w[h, g, t*lanes + l] = s1[t, h, G*g + l]`` whose row ``g``
+  holds, for every shot ``t``, the ``lanes``-wide column window starting at
+  group ``g`` (``lanes = 2G`` for the subpixel variant so the window always
+  contains ``col1-1..col1+1``; ``lanes = G`` for the integer variant). The
+  per-pixel dot then selects one GROUP over a universe of ``W/G`` (instead
+  of one column over ``W``), cutting the contraction K by ``G``x while the
+  output N grows only to ``n*lanes`` — net MXU-flop reduction ~1.5x
+  (subpixel) / ~2.6x (integer) at n=33, G=16. The exact column lands with an
+  in-vreg ``take_along_axis`` per 128-lane slice (window lanes never cross a
+  slice because ``lanes | 128``).
+* ``mxu``: the original full-width one-hot contraction — one
+  ``(WP, CHUNK) x (128, WP)`` dot per chunk (K = padded image width; the 3n
+  series sections ride the 128 output lanes). Fallback when the windowed
+  layout exceeds its lane budget.
+* ``shuffle``: hierarchical ``tpu.dynamic_gather`` per 128-lane block
+  (VPU). Mandatory for n > 42 where 3n no longer fits the mxu path's 128
+  lanes; measured 632 ms vs the mxu path's 68.7 ms at n=33, so it is
+  otherwise a diagnostics knob.
 
 Exactness: NXCORR accumulations run as serial chains over the stack axis in
 the reference's loop order and are free to contract into fused
@@ -30,7 +47,8 @@ float32-accumulated x grid (``agree.cuh:168``). Expected parity vs the
 (non-fma) oracle transcription: equal to within 1-2 ulps of NXCORR, with
 identical validity decisions away from exact threshold ties — the
 reference's own CPU and CUDA backends differ from each other in the same
-way.
+way. All gather strategies produce bit-identical gathered series (each is
+an exact selection), so the strategy knob can never change results.
 """
 
 from __future__ import annotations
@@ -57,19 +75,74 @@ SWEEP_UNROLL = int(_os.environ.get("BICOS_SWEEP_UNROLL", "3"))
 # series matrix as centered bytes (v - 128, exact to undo post-dot because
 # each one-hot row has exactly one 1); "bf16" is the original engine.
 AGREE_ENGINE = _os.environ.get("BICOS_AGREE_ENGINE", "bf16")
-# Gather strategy for the matched right-hand series: "mxu" = one-hot MXU
-# contraction (series matrix in VMEM, one (WP, CHUNK) x (128, WP) dot per
-# chunk — cost is H*WP^2*128 MACs regardless of n); "shuffle" = hierarchical
-# tpu.dynamic_gather per 128-lane block (VPU; cost scales with n and the
-# number of gathered sections, so it could in principle win for the
-# integer variant where only n of the 128 dot lanes are useful). Measured
-# (v5e, n=33 integer variant at 2200x3300, 2026-08-18): mxu 68.7 ms vs
-# shuffle 632 ms — the per-block shuffle+select chain is ~9x slower than
-# even a 3/4-wasted MXU dot, so "auto" picks mxu whenever the series
-# sections fit its 128 lanes; "shuffle" remains for n > 42 and diagnostics.
+# Gather strategy (see the module docstring): "auto" picks window ->
+# mxu -> shuffle by eligibility; explicit values force one path.
 AGREE_GATHER = _os.environ.get("BICOS_AGREE_GATHER", "auto")
+# Column-group width for the windowed gather. K of the gather dot is
+# WP/GROUP; the windows are 2*GROUP (subpixel) or GROUP (integer) lanes per
+# shot, so GROUP trades dot depth against window lanes AND extraction
+# slices. 0 = auto (8: measured best — 62.9 ms vs 72.5 at G=16 for the
+# n=33 integer variant at 2200x3300; extraction VPU work scales with the
+# window lanes, so the smallest group wins).
+AGREE_GROUP = int(_os.environ.get("BICOS_AGREE_GROUP", "0"))
+# Lane budget for the windowed series matrix (bounds the per-chunk gather
+# scratch: ROW_BATCH * CHUNK * LANE_CAP * 4 bytes = ~25 MB at 1536).
+WINDOW_LANE_CAP = 1536
 
 INVALID_I32 = -32768
+
+
+def _window_layout(n: int, subpixel: bool, gsz: int):
+    """(lanes-per-shot, padded lane count) of the windowed series matrix."""
+    lanes = (2 * gsz) if subpixel else gsz
+    lw = n * lanes
+    lp = max(128, ((lw + 127) // 128) * 128)
+    return lanes, lp
+
+
+def _window_ok(n: int, subpixel: bool, gsz: int) -> bool:
+    if gsz not in (8, 16, 32, 64):
+        return False
+    lanes, lp = _window_layout(n, subpixel, gsz)
+    # Window lanes must stay inside one 128-lane slice for the in-vreg
+    # extraction, and the scratch must fit the budget.
+    return lanes <= 128 and 128 % lanes == 0 and lp <= WINDOW_LANE_CAP
+
+
+def _resolve_gather(n: int, subpixel: bool):
+    """Gather strategy for a stack size: ('window'|'mxu'|'shuffle', group).
+
+    Measured on one v5e core (n=33, 2200x3300, 2026-08-19):
+
+    * subpixel: mxu 88-90 ms beats window (103 at G=8, 123 at G=16) — the
+      windowed dot is ~1.5x smaller but its per-vreg extraction (gathers +
+      index builds scale with CHUNK*LP) costs more than it saves;
+    * integer: window at G=8 wins, 62.9 ms vs mxu's 70.1 (the dot shrinks
+      ~2.6x and the y1-only extraction is cheap);
+    * past the mxu section budget (3n > 128) the window path replaces the
+      ~9x-slower shuffle up to its lane cap (n <= 96 subpixel / 192
+      integer at G=8).
+    """
+    group = AGREE_GROUP or 8
+    forced = AGREE_GATHER
+    if forced == "shuffle":
+        return "shuffle", group
+    if forced == "window":
+        if not _window_ok(n, subpixel, group):
+            raise ValueError(
+                f"BICOS_AGREE_GATHER=window unsupported for n={n} "
+                f"(group={group})")
+        return "window", group
+    if forced == "mxu":
+        return ("mxu" if 3 * n <= 128 else "shuffle"), group
+    # auto (see the measurements above)
+    if not subpixel and _window_ok(n, subpixel, group):
+        return "window", group
+    if 3 * n <= 128:
+        return "mxu", group
+    if _window_ok(n, subpixel, group):
+        return "window", group
+    return "shuffle", group
 
 
 def _gather_row(load_blk, bi, li, nblk: int):
@@ -96,6 +169,116 @@ def _gather_row(load_blk, bi, li, nblk: int):
         )
         outs.append(acc)
     return jnp.concatenate(outs, axis=1)
+
+
+def _make_nxcorr(n: int, fn, minvar, B):
+    """Serial-order NXCORR accumulation matching the oracle transcription
+    (mult-then-add, two roundings per step; an optimization barrier stops
+    the compiler from contracting the pattern into a single-rounding fma,
+    which shifts results by 1 ulp and can flip threshold decisions).
+    """
+
+    def nxcorr_serial(diff0, var0, series):
+        m1 = jnp.zeros_like(series[0])
+        for t in range(n):
+            m1 = m1 + series[t]
+        m1 = m1 / fn
+        covar = jnp.zeros_like(m1)
+        var1 = jnp.zeros_like(m1)
+        for t in range(n):
+            d1 = series[t] - m1
+            # Free to contract into fma: that IS the reference arithmetic
+            # (__fma_rn on CUDA, agree.cuh:67-97; gcc fp-contract on CPU).
+            covar = diff0[t] * d1 + covar
+            var1 = d1 * d1 + var1
+        nxc = covar / B(jnp.sqrt(var0 * var1))
+        if minvar is not None:
+            bad = (var0 < jnp.float32(minvar)) | (var1 < jnp.float32(minvar))
+            nxc = jnp.where(bad, jnp.float32(-1.0), nxc)
+        return nxc
+
+    return nxcorr_serial
+
+
+def _chunk_tail(
+    nxcorr_serial, xs_ref, diff0, var0, y0, y1, y2,
+    d_cs, border_cs, keep_cs, out_ref, corr_ref, cs,
+    *, n: int, xs: tuple, threshold: float, in_mod: int,
+):
+    """Shared per-chunk epilogue: integer NXCORR, optional subpixel sweep,
+    threshold + invalidation writes. Identical arithmetic for every gather
+    strategy (the gathered series are bit-identical selections)."""
+    nxc_int = nxcorr_serial(diff0, var0, y1)
+
+    if xs:
+        pa = [jnp.float32(0.5) * (y0[t] - 2.0 * y1[t] + y2[t])
+              for t in range(n)]
+        pb = [jnp.float32(0.5) * (y2[t] - y0[t]) for t in range(n)]
+        # fori over the x grid (values streamed from SMEM), SWEEP_UNROLL
+        # x-values per iteration: a fully unrolled len(xs) x n sweep
+        # makes the Mosaic program too large to compile at n=33,
+        # step=0.1, while one-x iterations fence MXU/VPU pipelining at
+        # every step. The wrapper pads the grid to a multiple of
+        # SWEEP_UNROLL with copies of the last x — re-evaluating an x
+        # can never change the result (strict < keeps the first best).
+        def sweep(jx, carry):
+            best_nxc, best_x = carry
+            for u in range(SWEEP_UNROLL):
+                xf = xs_ref[0, jx * SWEEP_UNROLL + u]
+                interp = []
+                for t in range(n):
+                    # Evaluation order matches the reference expression
+                    # a*x*x + b*x + c left-to-right ((a*x)*x,
+                    # agree.hpp:170); a*(x*x) differs in the last ulp
+                    # for non-power-of-two x.
+                    v = jnp.round(
+                        ((pa[t] * xf) * xf + pb[t] * xf) + y1[t])
+                    # round-half-even + C-style modular cast
+                    # (agree.cuh:235)
+                    iv = v.astype(jnp.int32) & jnp.int32(in_mod)
+                    interp.append(iv.astype(jnp.float32))
+                nxc = nxcorr_serial(diff0, var0, interp)
+                upd = best_nxc < nxc
+                best_nxc = jnp.where(upd, nxc, best_nxc)
+                best_x = jnp.where(upd, xf, best_x)
+            return best_nxc, best_x
+
+        shape = nxc_int.shape
+        best_nxc, best_x = jax.lax.fori_loop(
+            0, len(xs) // SWEEP_UNROLL, sweep,
+            (jnp.full(shape, -1.0, jnp.float32),
+             jnp.zeros(shape, jnp.float32)),
+        )
+        corr_val = jnp.where(border_cs, nxc_int, best_nxc)
+        ret = jnp.where(
+            border_cs,
+            d_cs.astype(jnp.float32),
+            d_cs.astype(jnp.float32) - best_x,
+        )
+    else:
+        corr_val = nxc_int
+        ret = d_cs.astype(jnp.float32)
+
+    nan = jnp.float32(jnp.nan)
+    corr_ref[:, cs] = jnp.where(keep_cs, corr_val, nan)
+    final = keep_cs & ~(corr_val < jnp.float32(threshold))
+    out_ref[:, cs] = jnp.where(final, ret, nan)
+
+
+def _left_stats(s0_ref, cs, n: int, fn, shape):
+    """Left series + NXCORR stats for one chunk (serial reference order).
+    Mosaic has no direct u8/u16 -> f32 cast; hop through int32."""
+    s0c = [s0_ref[t, :, cs].astype(jnp.int32).astype(jnp.float32)
+           for t in range(n)]
+    m0 = jnp.zeros(shape, jnp.float32)
+    for t in range(n):
+        m0 = m0 + s0c[t]
+    m0 = m0 / fn
+    diff0 = [s0c[t] - m0 for t in range(n)]
+    var0 = jnp.zeros(shape, jnp.float32)
+    for t in range(n):
+        var0 = diff0[t] * diff0[t] + var0
+    return diff0, var0
 
 
 def _agree_kernel(
@@ -133,32 +316,7 @@ def _agree_kernel(
     keep = valid & inb
     col1c = jnp.clip(col1, 0, w - 1)
     border = (col1c == 0) | (col1c == w - 1)
-
-    def nxcorr_serial(diff0, var0, series):
-        """Serial-order NXCORR accumulation matching the oracle transcription
-        (mult-then-add, two roundings per step; an optimization barrier stops
-        the compiler from contracting the pattern into a single-rounding fma,
-        which shifts results by 1 ulp and can flip threshold decisions).
-
-        diff0: list of n (8, C) f32; series: list of n (8, C) f32.
-        """
-        m1 = jnp.zeros_like(series[0])
-        for t in range(n):
-            m1 = m1 + series[t]
-        m1 = m1 / fn
-        covar = jnp.zeros_like(m1)
-        var1 = jnp.zeros_like(m1)
-        for t in range(n):
-            d1 = series[t] - m1
-            # Free to contract into fma: that IS the reference arithmetic
-            # (__fma_rn on CUDA, agree.cuh:67-97; gcc fp-contract on CPU).
-            covar = diff0[t] * d1 + covar
-            var1 = d1 * d1 + var1
-        nxc = covar / B(jnp.sqrt(var0 * var1))
-        if minvar is not None:
-            bad = (var0 < jnp.float32(minvar)) | (var1 < jnp.float32(minvar))
-            nxc = jnp.where(bad, jnp.float32(-1.0), nxc)
-        return nxc
+    nxcorr_serial = _make_nxcorr(n, fn, minvar, B)
 
     # MXU one-hot gather, row-major schedule: the series matrix
     # ``bt_scratch`` depends only on the image row (and byte for u16), so it
@@ -168,10 +326,14 @@ def _agree_kernel(
     if mxu_gather:
         u16 = s1_ref.dtype == jnp.uint16
         i8e = bt_scratch.dtype == jnp.int8
-        # Rows [3n, 128) of the series matrix are never written per-row and
-        # their dot outputs never read — zero them once per grid step.
-        bt_scratch[3 * n:128, :] = jnp.zeros(
-            (128 - 3 * n, wp), bt_scratch.dtype)
+        # Section offsets in the series matrix: rows [0,n) the raw series,
+        # [o1,o1+n) shifted right (value at col-1), [o2,o2+n) shifted left
+        # (value at col+1). Offsets are 8-sublane-aligned when the 128 rows
+        # allow it, so the bulk section stores below stay unmasked.
+        n8 = ((n + 7) // 8) * 8
+        o1, o2 = (n8, 2 * n8) if (xs and 2 * n8 + n <= 128) else (n, 2 * n)
+        # Unwritten rows' dot outputs are never read — zero once per step.
+        bt_scratch[...] = jnp.zeros(bt_scratch.shape, bt_scratch.dtype)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, CHUNK), 0)
 
         def cv(v32):
@@ -183,25 +345,24 @@ def _agree_kernel(
 
         for byte in range(2 if u16 else 1):
             for r in range(ROW_BATCH):
-                # Series matrix for this image row: rows [0,n) the raw
-                # series, [n,2n) shifted right (value at col-1), [2n,3n)
-                # shifted left (value at col+1). Wrapped edge lanes only
-                # reach border pixels, which take the integer fallback.
-                for t in range(n):
-                    row32 = s1_ref[t, r:r + 1, :].astype(jnp.int32)
-                    if byte == 1:
-                        row32 = row32 >> 8
-                    elif u16:
-                        row32 = row32 & jnp.int32(0xFF)
-                    bt_scratch[t:t + 1, :] = cv(row32)
-                    if xs:
-                        # 32-bit lane rotates (narrow rotates don't
-                        # lower); roll needs non-negative shifts:
-                        # wp-1 == -1.
-                        bt_scratch[n + t:n + t + 1, :] = cv(pltpu.roll(
-                            row32, 1, axis=1))
-                        bt_scratch[2 * n + t:2 * n + t + 1, :] = cv(
-                            pltpu.roll(row32, wp - 1, axis=1))
+                # Bulk fill: whole (n, WP) section stores instead of the
+                # previous per-shot (1, WP) writes (those ran at 1/8th
+                # sublane utilization — ~3n narrow casts/rolls/stores per
+                # image row). Wrapped edge lanes of the rolls only reach
+                # border pixels, which take the integer fallback.
+                rows32 = s1_ref[:, r, :].astype(jnp.int32)  # (n, WP)
+                if byte == 1:
+                    rows32 = rows32 >> 8
+                elif u16:
+                    rows32 = rows32 & jnp.int32(0xFF)
+                bt_scratch[0:n, :] = cv(rows32)
+                if xs:
+                    # 32-bit lane rotates (narrow rotates don't lower);
+                    # roll needs non-negative shifts: wp-1 == -1.
+                    bt_scratch[o1:o1 + n, :] = cv(
+                        pltpu.roll(rows32, 1, axis=1))
+                    bt_scratch[o2:o2 + n, :] = cv(
+                        pltpu.roll(rows32, wp - 1, axis=1))
                 for oc in range(wp // CHUNK):
                     cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
                     # One-hot built transposed, (WP, CHUNK): onehot_t[c, j]
@@ -247,18 +408,7 @@ def _agree_kernel(
         i0 = jnp.maximum(c1 - 1, 0)
         i2 = jnp.minimum(c1 + 1, w - 1)
 
-        # Left series + stats for this chunk (serial reference order).
-        # Mosaic has no direct u8/u16 -> f32 cast; hop through int32.
-        s0c = [s0_ref[t, :, cs].astype(jnp.int32).astype(jnp.float32)
-               for t in range(n)]
-        m0 = jnp.zeros((ROW_BATCH, CHUNK), jnp.float32)
-        for t in range(n):
-            m0 = m0 + s0c[t]
-        m0 = m0 / fn
-        diff0 = [s0c[t] - m0 for t in range(n)]
-        var0 = jnp.zeros((ROW_BATCH, CHUNK), jnp.float32)
-        for t in range(n):
-            var0 = diff0[t] * diff0[t] + var0
+        diff0, var0 = _left_stats(s0_ref, cs, n, fn, (ROW_BATCH, CHUNK))
 
         # Gather the matched right series (and neighbours when sweeping).
         y1 = []
@@ -270,8 +420,8 @@ def _agree_kernel(
             tr = jnp.transpose(gout_scratch[:, cs, :], (2, 0, 1))
             y1 = [tr[t] for t in range(n)]
             if xs:
-                y0 = [tr[n + t] for t in range(n)]
-                y2 = [tr[2 * n + t] for t in range(n)]
+                y0 = [tr[o1 + t] for t in range(n)]
+                y2 = [tr[o2 + t] for t in range(n)]
         else:
             for t in range(n):
                 def load_blk(b, t=t):
@@ -283,61 +433,181 @@ def _agree_kernel(
                     y0.append(_gather_row(load_blk, i0 >> 7, i0 & 127, nblk))
                     y2.append(_gather_row(load_blk, i2 >> 7, i2 & 127, nblk))
 
-        nxc_int = nxcorr_serial(diff0, var0, y1)
+        _chunk_tail(
+            nxcorr_serial, xs_ref, diff0, var0, y0, y1, y2,
+            d[:, cs], border[:, cs], keep[:, cs], out_ref, corr_ref, cs,
+            n=n, xs=xs, threshold=threshold, in_mod=in_mod,
+        )
 
+
+def _agree_window_kernel(
+    xs_ref,  # (1, XSPAD) f32 in SMEM — subpixel x grid (unused if empty)
+    disp_ref,  # (8, WP) i32
+    s0_ref,  # (n, 8, WP) input dtype
+    s1w_ref,  # (8, NG, LP) input dtype — windowed right series
+    out_ref,  # (8, WP) f32
+    corr_ref,  # (8, WP) f32
+    bt_scratch,  # (nbytes, 8, NG, LP) bf16/int8 — encoded windowed series
+    g_scratch,  # (8, CHUNK, LP) f32 — extracted gathers for ONE chunk
+    *,
+    n: int,
+    w: int,
+    wp: int,
+    gsz: int,
+    lanes: int,
+    threshold: float,
+    minvar: Optional[float],
+    xs: tuple,
+    in_mod: int,
+    i8e: bool,
+    interpret: bool,
+):
+    """Windowed-gather agree kernel (see the module docstring).
+
+    Per chunk and row, ONE grouped one-hot contraction
+    ``(CHUNK, NG) @ (NG, LP)`` fetches each pixel's ``lanes``-wide column
+    window for all n shots; a single in-vreg ``take_along_axis`` per
+    128-lane slice then lands the exact columns
+    ``max(col1-1,0) / col1 / min(col1+1,w-1)`` (window offsets q0/q1/q2)
+    AND compacts them to global lane ``4t + k`` (``t`` for the integer
+    variant), so the per-chunk scratch and its sweep transpose carry no
+    window garbage. Reproduces the legacy path's gathered series
+    bit-for-bit (both are exact selections of the same elements).
+    """
+    ng = s1w_ref.shape[1]
+    lp = s1w_ref.shape[2]
+    # Extraction compaction: slice sl of the dot output holds 128//lanes
+    # section windows; the gather writes each section's (y0, y1, y2, pad)
+    # as 4 dense lanes, so compacted GLOBAL lane = 4t + k (subpixel) or t
+    # (integer) and the per-chunk scratch/transpose shrinks by lanes/4.
+    cw = (4 if xs else 1) * (128 // lanes)
+    B = jax.lax.optimization_barrier if interpret else (lambda x: x)
+    fn = B(jnp.float32(n))
+    u16 = s0_ref.dtype == jnp.uint16
+    nbytes = 2 if u16 else 1
+    logg = gsz.bit_length() - 1
+    d = disp_ref[...]
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROW_BATCH, wp), 1)
+    valid = d != INVALID_I32
+    col1 = col - d
+    inb = (col1 >= 0) & (col1 < w)
+    keep = valid & inb
+    col1c = jnp.clip(col1, 0, w - 1)
+    border = (col1c == 0) | (col1c == w - 1)
+    nxcorr_serial = _make_nxcorr(n, fn, minvar, B)
+
+    def cv(v32):
+        if i8e:
+            return (v32 - 128).astype(jnp.int8)
+        return v32.astype(jnp.float32).astype(jnp.bfloat16)
+
+    # Encode the windowed series matrices for all rows (one bulk cast per
+    # row/byte — no per-shot fills or lane rotates).
+    for byte in range(nbytes):
+        for r in range(ROW_BATCH):
+            v32 = s1w_ref[r].astype(jnp.int32)
+            if byte == 1:
+                v32 = v32 >> 8
+            elif u16:
+                v32 = v32 & jnp.int32(0xFF)
+            bt_scratch[byte, r] = cv(v32)
+
+    # The extraction indexes pixels on SUBLANES (the dot output is
+    # (CHUNK, LP)); transpose the clipped match columns once per grid step
+    # so the per-chunk window offsets q0/q1/q2 slice out relayout-free.
+    col1c_t = jnp.transpose(col1c)  # (WP, ROW_BATCH)
+
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (ng, CHUNK), 0)
+    lloc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+    kq = lloc & 3  # y0/y1/y2/pad position within a compacted quad
+
+    for oc in range(wp // CHUNK):
+        cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
+        diff0, var0 = _left_stats(s0_ref, cs, n, fn, (ROW_BATCH, CHUNK))
+
+        for r in range(ROW_BATCH):
+            c1r = col1c[r:r + 1, cs]  # (1, CHUNK) — lane-major for one-hot
+            if xs:
+                # Window base = the y0 column; q1/q2 stay < 2*gsz because
+                # base is within gsz-1 of the group start.
+                base = jnp.maximum(c1r - 1, 0)
+            else:
+                base = c1r
+            g0 = base >> logg
+            onehot = gidx == g0  # (NG, CHUNK)
+            acc = None
+            for byte in range(nbytes):
+                bt = bt_scratch[byte, r]
+                if i8e:
+                    g32 = jax.lax.dot_general(
+                        onehot.astype(jnp.int8), bt,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    gg = (g32 + 128).astype(jnp.float32)
+                else:
+                    oh = jnp.where(
+                        onehot, jnp.float32(1.0), jnp.float32(0.0)
+                    ).astype(jnp.bfloat16)
+                    gg = jax.lax.dot_general(
+                        oh, bt,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (CHUNK, LP)
+                if byte == 1:
+                    acc = acc + gg * jnp.float32(256.0)
+                else:
+                    acc = gg
+
+            # Sublane-major window offsets for this (row, chunk).
+            c1t = col1c_t[cs, r:r + 1]  # (CHUNK, 1)
+            if xs:
+                base_t = jnp.maximum(c1t - 1, 0)
+                g0t = base_t >> logg
+                gbase = g0t << logg
+                q0 = base_t - gbase
+                q1 = c1t - gbase
+                q2 = jnp.minimum(c1t + 1, w - 1) - gbase
+            else:
+                g0t = c1t >> logg
+                q1 = c1t - (g0t << logg)
+
+            # Land the exact columns AND compact: output lane 4*s_loc + k
+            # gathers window lane lanes*s_loc + qk (k = 0/1/2 -> y0/y1/y2;
+            # k = 3 pads), so writing the first cw lanes of each slice
+            # packs section t's trio at global lane 4t + k — densely, with
+            # no garbage riding the later transpose. Window lanes never
+            # cross a 128-lane slice (lanes | 128), so the gather is
+            # per-vreg.
+            if xs:
+                qsel = jnp.where(
+                    kq == 0, q0, jnp.where(kq == 2, q2, q1))
+                idx = ((lloc >> 2) * lanes) + qsel
+            else:
+                qsel = jnp.broadcast_to(q1, (CHUNK, 128))
+                idx = lloc * lanes + qsel
+            idx = jnp.where(lloc < cw, idx, 0)
+            for sl in range(lp // 128):
+                lsl = slice(sl * 128, (sl + 1) * 128)
+                ge = jnp.take_along_axis(acc[:, lsl], idx, axis=1)
+                g_scratch[r, :, sl * cw:(sl + 1) * cw] = ge[:, :cw]
+
+        # (8, CHUNK, CLP) -> (CLP, 8, CHUNK): per-shot full-slab layout for
+        # the sweep (lane-major would waste 127/128 VPU lanes).
+        tr = jnp.transpose(g_scratch[...], (2, 0, 1))
         if xs:
-            pa = [jnp.float32(0.5) * (y0[t] - 2.0 * y1[t] + y2[t])
-                  for t in range(n)]
-            pb = [jnp.float32(0.5) * (y2[t] - y0[t]) for t in range(n)]
-            # fori over the x grid (values streamed from SMEM), SWEEP_UNROLL
-            # x-values per iteration: a fully unrolled len(xs) x n sweep
-            # makes the Mosaic program too large to compile at n=33,
-            # step=0.1, while one-x iterations fence MXU/VPU pipelining at
-            # every step. The wrapper pads the grid to a multiple of
-            # SWEEP_UNROLL with copies of the last x — re-evaluating an x
-            # can never change the result (strict < keeps the first best).
-            def sweep(jx, carry):
-                best_nxc, best_x = carry
-                for u in range(SWEEP_UNROLL):
-                    xf = xs_ref[0, jx * SWEEP_UNROLL + u]
-                    interp = []
-                    for t in range(n):
-                        # Evaluation order matches the reference expression
-                        # a*x*x + b*x + c left-to-right ((a*x)*x,
-                        # agree.hpp:170); a*(x*x) differs in the last ulp
-                        # for non-power-of-two x.
-                        v = jnp.round(
-                            ((pa[t] * xf) * xf + pb[t] * xf) + y1[t])
-                        # round-half-even + C-style modular cast
-                        # (agree.cuh:235)
-                        iv = v.astype(jnp.int32) & jnp.int32(in_mod)
-                        interp.append(iv.astype(jnp.float32))
-                    nxc = nxcorr_serial(diff0, var0, interp)
-                    upd = best_nxc < nxc
-                    best_nxc = jnp.where(upd, nxc, best_nxc)
-                    best_x = jnp.where(upd, xf, best_x)
-                return best_nxc, best_x
-
-            best_nxc, best_x = jax.lax.fori_loop(
-                0, len(xs) // SWEEP_UNROLL, sweep,
-                (jnp.full((ROW_BATCH, CHUNK), -1.0, jnp.float32),
-                 jnp.zeros((ROW_BATCH, CHUNK), jnp.float32)),
-            )
-            corr_val = jnp.where(border[:, cs], nxc_int, best_nxc)
-            ret = jnp.where(
-                border[:, cs],
-                d[:, cs].astype(jnp.float32),
-                d[:, cs].astype(jnp.float32) - best_x,
-            )
+            y0 = [tr[4 * t + 0] for t in range(n)]
+            y1 = [tr[4 * t + 1] for t in range(n)]
+            y2 = [tr[4 * t + 2] for t in range(n)]
         else:
-            corr_val = nxc_int
-            ret = d[:, cs].astype(jnp.float32)
+            y0, y2 = [], []
+            y1 = [tr[t] for t in range(n)]
 
-        k = keep[:, cs]
-        nan = jnp.float32(jnp.nan)
-        corr_ref[:, cs] = jnp.where(k, corr_val, nan)
-        final = k & ~(corr_val < jnp.float32(threshold))
-        out_ref[:, cs] = jnp.where(final, ret, nan)
+        _chunk_tail(
+            nxcorr_serial, xs_ref, diff0, var0, y0, y1, y2,
+            d[:, cs], border[:, cs], keep[:, cs], out_ref, corr_ref, cs,
+            n=n, xs=xs, threshold=threshold, in_mod=in_mod,
+        )
 
 
 def _pad2(x, mult0, mult1, value=0):
@@ -347,6 +617,26 @@ def _pad2(x, mult0, mult1, value=0):
         return x
     widths = [(0, 0)] * (x.ndim - 2) + [(0, p0), (0, p1)]
     return jnp.pad(x, widths, constant_values=value)
+
+
+def _window_series(s1, gsz: int, subpixel: bool, lp: int):
+    """(n, H, WP) padded stack -> (H, WP/gsz, lp) windowed series matrix:
+    ``out[h, g, t*lanes + l] = s1[t, h, gsz*g + l]`` with ``lanes = 2*gsz``
+    windows (two adjacent groups, zero-padded past the last) when
+    ``subpixel`` else ``gsz``. Cheap bandwidth-bound XLA transposes."""
+    n, h, wp = s1.shape
+    ng = wp // gsz
+    x = jnp.transpose(s1, (1, 2, 0)).reshape(h, ng, gsz, n)
+    xa = jnp.transpose(x, (0, 1, 3, 2))  # (h, ng, n, gsz)
+    if subpixel:
+        xb = jnp.concatenate(
+            [xa[:, 1:], jnp.zeros_like(xa[:, :1])], axis=1)
+        xa = jnp.concatenate([xa, xb], axis=-1)  # (h, ng, n, 2*gsz)
+    out = xa.reshape(h, ng, xa.shape[2] * xa.shape[3])
+    pad = lp - out.shape[-1]
+    if pad:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, pad)))
+    return out
 
 
 @functools.partial(
@@ -360,15 +650,71 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
     s1 = _pad2(stack1, ROW_BATCH, CHUNK)
     hp, wp = d32.shape
     in_mod = 0xFFFF if stack0.dtype == jnp.uint16 else 0xFF
-    # MXU one-hot gather needs the 3n series sections in 128 bf16-exact
-    # byte lanes: n <= 42 (u16 runs two byte-split contractions). Larger
-    # stacks use the shuffle fallback; BICOS_AGREE_GATHER=shuffle forces it.
-    mxu_gather = bool(3 * n <= 128) and AGREE_GATHER != "shuffle"
+    gather, group = _resolve_gather(n, bool(xs))
 
     if xs:
         # Pad the grid to a SWEEP_UNROLL multiple with copies of the last x
         # (re-evaluation is a no-op under the strict < best update).
         xs = xs + (xs[-1],) * ((-len(xs)) % SWEEP_UNROLL)
+    xspad = max(8, len(xs))
+    xs_arr = jnp.asarray(
+        list(xs) + [0.0] * (xspad - len(xs)), dtype=jnp.float32
+    ).reshape(1, xspad)
+    i8e = AGREE_ENGINE == "i8"
+    b_dtype = jnp.int8 if i8e else jnp.bfloat16
+
+    if gather == "window":
+        gsz = group
+        lanes, lp = _window_layout(n, bool(xs), gsz)
+        ng = wp // gsz
+        # Compacted gather-scratch lanes: cw useful lanes per 128-lane dot
+        # slice (see _agree_window_kernel).
+        cw = (4 if xs else 1) * (128 // lanes)
+        clp = max(128, (((lp // 128) * cw + 127) // 128) * 128)
+        s1w = _window_series(s1, gsz, bool(xs), lp)
+        kernel = functools.partial(
+            _agree_window_kernel,
+            n=n, w=w, wp=wp, gsz=gsz, lanes=lanes,
+            threshold=threshold, minvar=minvar, xs=xs, in_mod=in_mod,
+            i8e=i8e, interpret=interpret,
+        )
+        out, corr = pl.pallas_call(
+            kernel,
+            grid=(hp // ROW_BATCH,),
+            in_specs=[
+                pl.BlockSpec((1, xspad), lambda r: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((ROW_BATCH, wp), lambda r: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, ROW_BATCH, wp), lambda r: (0, r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BATCH, ng, lp), lambda r: (r, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((ROW_BATCH, wp), lambda r: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BATCH, wp), lambda r: (r, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (2 if stack0.dtype == jnp.uint16 else 1,
+                     ROW_BATCH, ng, lp), b_dtype),
+                pltpu.VMEM((ROW_BATCH, CHUNK, clp), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(xs_arr, d32, s0, s1w)
+        return out[:h, :w], corr[:h, :w]
+
+    mxu_gather = gather == "mxu"
     kernel = functools.partial(
         _agree_kernel,
         n=n, w=w, wp=wp,
@@ -376,10 +722,6 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
         mxu_gather=mxu_gather,
         interpret=interpret,
     )
-    xspad = max(8, len(xs))
-    xs_arr = jnp.asarray(
-        list(xs) + [0.0] * (xspad - len(xs)), dtype=jnp.float32
-    ).reshape(1, xspad)
     out, corr = pl.pallas_call(
         kernel,
         grid=(hp // ROW_BATCH,),
@@ -404,10 +746,7 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM(
-                (128, wp),
-                jnp.int8 if AGREE_ENGINE == "i8" else jnp.bfloat16,
-            ),
+            pltpu.VMEM((128, wp), b_dtype),
             pltpu.VMEM((ROW_BATCH, wp, 128), jnp.float32),
         ],
         interpret=interpret,

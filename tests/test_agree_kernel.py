@@ -124,9 +124,29 @@ def test_pipeline_pallas_agree_integration(rng):
         _assert_corr_close(got_c, want_c)
 
 
-def test_agree_kernel_shuffle_fallback_large_n(rng):
-    """n > 42 exceeds the one-hot section budget and takes the shuffle-gather
-    path; parity must hold there too."""
+def test_agree_kernel_window_large_n_auto(rng):
+    """n > 42 exceeds the full-width one-hot's section budget; auto now
+    lands on the windowed gather there (far cheaper than shuffle)."""
+    from libbicos_tpu.kernels.agree import _resolve_gather
+
+    assert _resolve_gather(44, False)[0] == "window"
+    s0, s1, disp = _disp_for(rng, 44, 3, 24)
+    out, corr = agree_pallas(disp, s0, s1, 0.5, None, None, interpret=True)
+    want_d, want_c = oracle.agree(disp.copy(), s0, s1, 0.5, None)
+    out = np.asarray(out)
+    got_i16 = np.where(np.isnan(out), np.int16(-32768),
+                       np.nan_to_num(out).astype(np.int16))
+    np.testing.assert_array_equal(got_i16, want_d)
+    _assert_corr_close(corr, want_c)
+
+
+def test_agree_kernel_shuffle_fallback_large_n(rng, monkeypatch):
+    """Very large n exceeds the windowed lane budget too and takes the
+    shuffle-gather path; parity must hold there (forced here — the lane cap
+    makes auto reach shuffle only past n=96)."""
+    from libbicos_tpu.kernels import agree as kagree
+
+    monkeypatch.setattr(kagree, "AGREE_GATHER", "shuffle")
     s0, s1, disp = _disp_for(rng, 44, 3, 20)
     out, corr = agree_pallas(disp, s0, s1, 0.5, None, None, interpret=True)
     want_d, want_c = oracle.agree(disp.copy(), s0, s1, 0.5, None)
@@ -158,6 +178,111 @@ def test_agree_kernel_i8_engine(rng, monkeypatch, dtype):
     m = ~np.isnan(want_d)
     np.testing.assert_array_equal(got_d[m], want_d[m])
     _assert_corr_close(corr, want_c)
+
+
+@pytest.mark.parametrize("step", [None, 0.25])
+@pytest.mark.parametrize("gather", ["window", "mxu"])
+def test_agree_kernel_gather_modes(rng, monkeypatch, step, gather):
+    """Forced gather strategies must be bit-identical: 'window' (grouped
+    one-hot + in-vreg extraction, the auto default) and 'mxu' (full-width
+    one-hot) both select exactly the same series elements."""
+    from libbicos_tpu.kernels import agree as kagree
+
+    monkeypatch.setattr(kagree, "AGREE_GATHER", gather)
+    # Distinct shapes per mode: _agree_call's jit cache keys on shapes,
+    # not on the module global the gather mode is derived from.
+    w = {"window": 52, "mxu": 56}[gather] + (4 if step else 0)
+    s0, s1, disp = _disp_for(rng, 9, 4, w)
+    out, corr = agree_pallas(disp, s0, s1, 0.5, step, None, interpret=True)
+    if step is None:
+        want_d, want_c = oracle.agree(disp.copy(), s0, s1, 0.5, None)
+        out = np.asarray(out)
+        got_i16 = np.where(np.isnan(out), np.int16(-32768),
+                           np.nan_to_num(out).astype(np.int16))
+        np.testing.assert_array_equal(got_i16, want_d)
+    else:
+        want_d, want_c = oracle.agree_subpixel(
+            disp.copy(), s0, s1, 0.5, step, None, np.uint8)
+        got_d = np.asarray(out)
+        assert (np.isnan(got_d) == np.isnan(want_d)).all()
+        m = ~np.isnan(want_d)
+        np.testing.assert_array_equal(got_d[m], want_d[m])
+    _assert_corr_close(corr, want_c)
+
+
+@pytest.mark.parametrize("gsz", [8, 32])
+def test_agree_kernel_window_group_sizes(rng, monkeypatch, gsz):
+    """The windowed gather must be exact for every supported group width
+    (the default is 16; 8/32 re-tile K vs window lanes)."""
+    from libbicos_tpu.kernels import agree as kagree
+
+    monkeypatch.setattr(kagree, "AGREE_GATHER", "window")
+    monkeypatch.setattr(kagree, "AGREE_GROUP", gsz)
+    s0, s1, disp = _disp_for(rng, 6, 3, 60 + gsz)
+    out, corr = agree_pallas(disp, s0, s1, 0.5, 0.5, 4.0, interpret=True)
+    want_d, want_c = oracle.agree_subpixel(
+        disp.copy(), s0, s1, 0.5, 0.5, 4.0, np.uint8)
+    got_d = np.asarray(out)
+    assert (np.isnan(got_d) == np.isnan(want_d)).all()
+    m = ~np.isnan(want_d)
+    np.testing.assert_array_equal(got_d[m], want_d[m])
+    _assert_corr_close(corr, want_c)
+
+
+def test_agree_kernel_window_border_columns(rng):
+    """Pixels matched at the row edges (col1 = 0 / w-1) exercise the window
+    clamping (q0/q2 clamp to the row bounds exactly like the legacy path's
+    max/min indices); forced disparities place matches on both edges."""
+    s0, s1, _ = _disp_for(rng, 7, 4, 48)
+    h, w = 4, 48
+    disp = np.full((h, w), -32768, np.int16)
+    disp[:, 0] = 0      # col1 = 0 border
+    disp[:, w - 1] = 0  # col1 = w-1 border
+    disp[:, 5] = 5      # col1 = 0 via positive disparity
+    disp[:, 10] = -37   # col1 = 47 = w-1
+    disp[:, 20] = 3     # interior
+    out, corr = agree_pallas(disp, s0, s1, -1.0, 0.25, None, interpret=True)
+    want_d, want_c = oracle.agree_subpixel(
+        disp.copy(), s0, s1, -1.0, 0.25, None, np.uint8)
+    got_d = np.asarray(out)
+    assert (np.isnan(got_d) == np.isnan(want_d)).all()
+    m = ~np.isnan(want_d)
+    np.testing.assert_array_equal(got_d[m], want_d[m])
+    _assert_corr_close(corr, want_c)
+
+
+def test_agree_kernel_window_u16_subpixel(rng, monkeypatch):
+    """u16 inputs take two byte-split window contractions recombined as
+    256*hi + lo; must stay exact through the windowed path."""
+    from libbicos_tpu.kernels import agree as kagree
+
+    monkeypatch.setattr(kagree, "AGREE_GATHER", "window")
+    s0, s1, disp = _disp_for(rng, 5, 3, 68, np.uint16)
+    out, corr = agree_pallas(disp, s0, s1, 0.6, 0.5, 10.0, interpret=True)
+    want_d, want_c = oracle.agree_subpixel(
+        disp.copy(), s0, s1, 0.6, 0.5, 10.0, np.uint16)
+    got_d = np.asarray(out)
+    assert (np.isnan(got_d) == np.isnan(want_d)).all()
+    m = ~np.isnan(want_d)
+    np.testing.assert_array_equal(got_d[m], want_d[m])
+    _assert_corr_close(corr, want_c)
+
+
+def test_agree_gather_resolution():
+    """auto is variant-aware (measured): subpixel takes the full-width mxu
+    gather for 3n <= 128 then window then shuffle; the integer variant
+    takes window (G=8) throughout its lane budget."""
+    from libbicos_tpu.kernels.agree import _resolve_gather
+
+    assert _resolve_gather(33, True)[0] == "mxu"
+    assert _resolve_gather(33, False) == ("window", 8)
+    # Past the mxu section budget (n > 42) the windowed gather still fits
+    # its lane cap for a while — far cheaper than the shuffle fallback.
+    assert _resolve_gather(44, True)[0] == "window"
+    assert _resolve_gather(44, False)[0] == "window"
+    assert _resolve_gather(90, False)[0] == "window"
+    # Far past every budget: shuffle (subpixel window caps at n=96 for G=8).
+    assert _resolve_gather(120, True)[0] == "shuffle"
 
 
 @pytest.mark.parametrize("step", [None, 0.25])
