@@ -259,10 +259,18 @@ def main(argv=None) -> int:
         # checkpoint; descriptor dumps are the inspection surface).
         from . import descriptor as _descriptor
 
+        words0 = np.asarray(_descriptor.descriptor_words(l_dev, cfg.mode))
+        words1 = np.asarray(_descriptor.descriptor_words(r_dev, cfg.mode))
+        from . import debug as _debug
+
+        if _debug.enabled():
+            from .config import actual_bits
+
+            nbits = actual_bits(lstack.shape[0], cfg.mode)
+            _debug.check_descriptor_words(words0, nbits)
+            _debug.check_descriptor_words(words1, nbits)
         np.savez_compressed(
-            args.dump_descriptors,
-            words0=np.asarray(_descriptor.descriptor_words(l_dev, cfg.mode)),
-            words1=np.asarray(_descriptor.descriptor_words(r_dev, cfg.mode)),
+            args.dump_descriptors, words0=words0, words1=words1,
         )
         print(f"Saved packed descriptors to\t{args.dump_descriptors}")
 

@@ -176,6 +176,15 @@ def match(
             disp, corr = _match_jit(stack0, stack1, cfg, corrmap, backend)
     else:
         disp, corr = _match_jit(stack0, stack1, cfg, corrmap, backend)
+    from . import debug as _debug
+
+    if _debug.enabled():
+        # BICOS_DEBUG invariant checks (the reference's debug-build traps;
+        # see debug.py). Fetches results to the host — debug/CI only.
+        _debug.check_match_output(
+            disp, corr, stack0.shape[2],
+            subpixel=cfg.subpixel_step is not None,
+        )
     if corrmap:
         return disp, corr
     return disp
