@@ -66,9 +66,18 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="Pin the jax platform (e.g. 'cpu'); --quick "
+                    "defaults to cpu so smoke runs never contend for the "
+                    "TPU tunnel (site hooks override JAX_PLATFORMS, so the "
+                    "pin must happen via jax.config before backend init).")
     args = ap.parse_args()
 
     import jax
+
+    platform = args.platform or ("cpu" if args.quick else None)
+    if platform:
+        jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
 
     import libbicos_tpu as bicos
@@ -158,6 +167,74 @@ def main():
         reps)
     emit(f"agree_subpixel_n{n}_step0.25", ms,
          {"mp_per_s": round(mp / (ms / 1e3), 1)})
+
+    # --- agree u16 (bench/cuda.cu:99-180 runs TInput in {u8, u16}) --------
+    s0w, s1w, _ = synthetic_stack_pair(n, h, w, dtype=np.uint16)
+    d0w, d1w = jnp.asarray(s0w), jnp.asarray(s1w)
+    dispw = jax.block_until_ready(
+        srch(tf(jnp.asarray((np.asarray(s0w) >> 8).astype(np.uint8))),
+             tf(jnp.asarray((np.asarray(s1w) >> 8).astype(np.uint8)))))
+    if backend == "pallas":
+        aiw = lambda d, a, b: agree_pallas(d, a, b, 0.9, None, 2.0 * n)
+        aspw = lambda d, a, b: agree_pallas(d, a, b, 0.9, 0.25, 2.0 * n)
+    else:
+        aiw = jax.jit(lambda d, a, b: A.agree_integer(
+            d, a, b, 0.9, 2.0 * n, Precision.SINGLE))
+        aspw = jax.jit(lambda d, a, b: A.agree_subpixel(
+            d, a, b, 0.9, 0.25, 2.0 * n, Precision.SINGLE))
+    ms = timeit(
+        aiw,
+        lambda k: (dispw, jax.block_until_ready(d0w ^ np.uint16(k)), d1w),
+        reps)
+    emit(f"agree_integer_u16_n{n}", ms,
+         {"mp_per_s": round(mp / (ms / 1e3), 1)})
+    ms = timeit(
+        aspw,
+        lambda k: (dispw, jax.block_until_ready(d0w ^ np.uint16(k)), d1w),
+        reps)
+    emit(f"agree_subpixel_u16_n{n}_step0.25", ms,
+         {"mp_per_s": round(mp / (ms / 1e3), 1)})
+
+    # --- nxcorr subroutine (bench/cuda.cu:46-77 analogue) -----------------
+    # The reference times a single nxcorr evaluation over an n=50 series in
+    # f32/f64 x {PLAIN, MINVAR}; here the equivalent is the vectorized
+    # nxcorr over a full image of series (per-element cost is what matters).
+    from libbicos_tpu.agree import _compute_dtype, _nxcorr_from, _stats
+
+    def nxcorr_image(a, b, minvar, precision):
+        dt = _compute_dtype(precision)
+        af = a.astype(dt)
+        _, diff0, var0 = _stats(af, dt)
+        return _nxcorr_from(diff0, var0, b.astype(dt), minvar, dt)
+
+    nn = 50
+    sa = jnp.asarray(
+        np.random.default_rng(0x600DF00D).integers(
+            0, 256, size=(nn, h, w), dtype=np.uint8))
+    sb = jnp.asarray(
+        np.random.default_rng(0xBADC0DE).integers(
+            0, 256, size=(nn, h, w), dtype=np.uint8))
+    import contextlib
+
+    for prec, tag in ((Precision.SINGLE, "f32"), (Precision.DOUBLE, "f64")):
+        for minvar, vtag in ((None, "plain"), (2.0 * nn, "minvar")):
+            ctx = (jax.enable_x64(True) if prec == Precision.DOUBLE
+                   else contextlib.nullcontext())
+            with ctx:
+                fnx = jax.jit(lambda a, b, mv=minvar, p=prec: nxcorr_image(
+                    a, b, mv, p))
+                try:
+                    ms = timeit(
+                        fnx,
+                        lambda k: (jax.block_until_ready(sa ^ np.uint8(k)),
+                                   sb),
+                        reps)
+                except Exception as e:  # pragma: no cover - f64 on TPU
+                    print(f"# nxcorr_{tag}_{vtag} skipped: {e}",
+                          file=sys.stderr)
+                    continue
+            emit(f"nxcorr_{tag}_{vtag}_n{nn}", ms,
+                 {"mp_per_s": round(mp / (ms / 1e3), 1)})
 
     # --- integration (bench/cuda.cu:297-323 analogue) --------------------
     steps = [0] if args.quick else [0, 0.25, 0.10]
