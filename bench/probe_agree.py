@@ -27,6 +27,8 @@ def main():
     reps = int(os.environ.get("BICOS_PROBE_REPS", "5"))
     step_s = os.environ.get("BICOS_PROBE_STEP", "0.1")
     step = None if step_s == "none" else float(step_s)
+    dt_s = os.environ.get("BICOS_PROBE_DTYPE", "u8")
+    dt = np.uint16 if dt_s == "u16" else np.uint8
 
     import jax
     import jax.numpy as jnp
@@ -40,8 +42,9 @@ def main():
           f"engine={kagree.AGREE_ENGINE} step={step}", file=sys.stderr)
 
     rng = np.random.default_rng(0x600DF00D)
-    s0 = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
-    s1 = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    hi = int(np.iinfo(dt).max) + 1
+    s0 = rng.integers(0, hi, size=(n, h, w), dtype=dt)
+    s1 = rng.integers(0, hi, size=(n, h, w), dtype=dt)
     disp = rng.integers(0, 256, size=(h, w)).astype(np.int16)
     disp[rng.random((h, w)) < 0.05] = -32768
     d0 = jnp.asarray(s0)
@@ -58,7 +61,7 @@ def main():
 
     def pert(k):
         if k not in perts:
-            perts[k] = jax.block_until_ready(d0 ^ np.uint8(k))
+            perts[k] = jax.block_until_ready(d0 ^ dt(k))
         return perts[k]
 
     for k in range(1, reps + 1):
@@ -80,7 +83,7 @@ def main():
         "group": kagree.AGREE_GROUP,
         "engine": kagree.AGREE_ENGINE,
         "n": n, "h": h, "w": w,
-        "step": step_s,
+        "step": step_s, "dtype": dt_s,
         "ms": round(med, 2),
     }))
 

@@ -52,11 +52,26 @@ def timeit(fn, make_args, reps):
     return min(ts)
 
 
+ONLY = None  # --only substring filter
+
+
+def want(name: str) -> bool:
+    return ONLY is None or ONLY in name
+
+
 def emit(name, ms, extra=None):
     rec = {"bench": name, "ms": round(ms, 2)}
     if extra:
         rec.update(extra)
     print(json.dumps(rec), flush=True)
+
+
+def bench(name, fn, make_args, reps, mp):
+    """Gate on --only, then time and emit one row."""
+    if not want(name):
+        return
+    ms = timeit(fn, make_args, reps)
+    emit(name, ms, {"mp_per_s": round(mp / (ms / 1e3), 1)})
 
 
 def main():
@@ -66,12 +81,17 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--only", default=None,
+                    help="Run only benches whose name contains this "
+                    "substring (resume/focus filter).")
     ap.add_argument("--platform", default=None,
                     help="Pin the jax platform (e.g. 'cpu'); --quick "
                     "defaults to cpu so smoke runs never contend for the "
                     "TPU tunnel (site hooks override JAX_PLATFORMS, so the "
                     "pin must happen via jax.config before backend init).")
     args = ap.parse_args()
+    global ONLY
+    ONLY = args.only
 
     import jax
 
@@ -102,16 +122,14 @@ def main():
         s0, _, _ = synthetic_stack_pair(n, h, w)
         d0 = jnp.asarray(s0)
         tf = jax.jit(lambda s, m=mode: D.descriptor_words(s, m))
-        ms = timeit(tf, lambda k: (d0 ^ np.uint8(k),), reps)
-        emit(f"transform_{mode.name.lower()}_n{n}", ms,
-             {"mp_per_s": round(mp / (ms / 1e3), 1)})
+        bench(f"transform_{mode.name.lower()}_n{n}", tf,
+              lambda k: (d0 ^ np.uint8(k),), reps, mp)
         if backend == "pallas":
             from libbicos_tpu.kernels.transform import descriptor_words_pallas
 
             tfk = lambda s, m=mode: descriptor_words_pallas(s, m)
-            ms = timeit(tfk, lambda k: (d0 ^ np.uint8(k),), reps)
-            emit(f"transform_kernel_{mode.name.lower()}_n{n}", ms,
-                 {"mp_per_s": round(mp / (ms / 1e3), 1)})
+            bench(f"transform_kernel_{mode.name.lower()}_n{n}", tfk,
+                  lambda k: (d0 ^ np.uint8(k),), reps, mp)
 
     # --- Hamming scan (bench/cuda.cu:192-256 analogue) -------------------
     # Production path: fused transform+search straight from raw stacks
@@ -130,15 +148,13 @@ def main():
 
         nd = jax.jit(lambda a, b, m=mode: S.search_stack(
             a, b, m, bicos.NoDuplicates(), backend=backend))
-        ms = timeit(nd, pert, reps)
-        emit(f"search_nodupes_{mode.name.lower()}_n{n}_b{nbits}", ms,
-             {"mp_per_s": round(mp / (ms / 1e3), 1)})
+        bench(f"search_nodupes_{mode.name.lower()}_n{n}_b{nbits}", nd,
+              pert, reps, mp)
         cons = jax.jit(lambda a, b, m=mode: S.search_stack(
             a, b, m, bicos.Consistency(max_lr_diff=1, no_dupes=False),
             backend=backend))
-        ms = timeit(cons, pert, reps)
-        emit(f"search_consistency_{mode.name.lower()}_n{n}_b{nbits}", ms,
-             {"mp_per_s": round(mp / (ms / 1e3), 1)})
+        bench(f"search_consistency_{mode.name.lower()}_n{n}_b{nbits}",
+              cons, pert, reps, mp)
 
     # --- agree (bench/cuda.cu:99-180 analogue) ---------------------------
     n = 10
@@ -158,15 +174,12 @@ def main():
             d, a, b, 0.9, 2.0 * n, Precision.SINGLE))
         asp = jax.jit(lambda d, a, b: A.agree_subpixel(
             d, a, b, 0.9, 0.25, 2.0 * n, Precision.SINGLE))
-    ms = timeit(
-        ai, lambda k: (disp, jax.block_until_ready(d0 ^ np.uint8(k)), d1),
-        reps)
-    emit(f"agree_integer_n{n}", ms, {"mp_per_s": round(mp / (ms / 1e3), 1)})
-    ms = timeit(
-        asp, lambda k: (disp, jax.block_until_ready(d0 ^ np.uint8(k)), d1),
-        reps)
-    emit(f"agree_subpixel_n{n}_step0.25", ms,
-         {"mp_per_s": round(mp / (ms / 1e3), 1)})
+    bench(f"agree_integer_n{n}", ai,
+          lambda k: (disp, jax.block_until_ready(d0 ^ np.uint8(k)), d1),
+          reps, mp)
+    bench(f"agree_subpixel_n{n}_step0.25", asp,
+          lambda k: (disp, jax.block_until_ready(d0 ^ np.uint8(k)), d1),
+          reps, mp)
 
     # --- agree u16 (bench/cuda.cu:99-180 runs TInput in {u8, u16}) --------
     s0w, s1w, _ = synthetic_stack_pair(n, h, w, dtype=np.uint16)
@@ -182,18 +195,12 @@ def main():
             d, a, b, 0.9, 2.0 * n, Precision.SINGLE))
         aspw = jax.jit(lambda d, a, b: A.agree_subpixel(
             d, a, b, 0.9, 0.25, 2.0 * n, Precision.SINGLE))
-    ms = timeit(
-        aiw,
-        lambda k: (dispw, jax.block_until_ready(d0w ^ np.uint16(k)), d1w),
-        reps)
-    emit(f"agree_integer_u16_n{n}", ms,
-         {"mp_per_s": round(mp / (ms / 1e3), 1)})
-    ms = timeit(
-        aspw,
-        lambda k: (dispw, jax.block_until_ready(d0w ^ np.uint16(k)), d1w),
-        reps)
-    emit(f"agree_subpixel_u16_n{n}_step0.25", ms,
-         {"mp_per_s": round(mp / (ms / 1e3), 1)})
+    bench(f"agree_integer_u16_n{n}", aiw,
+          lambda k: (dispw, jax.block_until_ready(d0w ^ np.uint16(k)), d1w),
+          reps, mp)
+    bench(f"agree_subpixel_u16_n{n}_step0.25", aspw,
+          lambda k: (dispw, jax.block_until_ready(d0w ^ np.uint16(k)), d1w),
+          reps, mp)
 
     # --- nxcorr subroutine (bench/cuda.cu:46-77 analogue) -----------------
     # The reference times a single nxcorr evaluation over an n=50 series in
@@ -218,6 +225,8 @@ def main():
 
     for prec, tag in ((Precision.SINGLE, "f32"), (Precision.DOUBLE, "f64")):
         for minvar, vtag in ((None, "plain"), (2.0 * nn, "minvar")):
+            if not want(f"nxcorr_{tag}_{vtag}_n{nn}"):
+                continue
             ctx = (jax.enable_x64(True) if prec == Precision.DOUBLE
                    else contextlib.nullcontext())
             with ctx:
@@ -248,12 +257,9 @@ def main():
                 mode=TransformMode.FULL,
             )
             fn = lambda a, b, c=cfg: bicos.match(a, b, c, backend=backend)
-            ms = timeit(
-                fn,
-                lambda k: (jax.block_until_ready(d0 ^ np.uint8(k)), d1),
-                reps)
-            emit(f"integration_n{n}_step{step}", ms,
-                 {"mp_per_s": round(mp / (ms / 1e3), 1)})
+            bench(f"integration_n{n}_step{step}", fn,
+                  lambda k: (jax.block_until_ready(d0 ^ np.uint8(k)), d1),
+                  reps, mp)
 
 
 if __name__ == "__main__":
