@@ -109,16 +109,21 @@ def _window_ok(n: int, subpixel: bool, gsz: int) -> bool:
     return lanes <= 128 and 128 % lanes == 0 and lp <= WINDOW_LANE_CAP
 
 
-def _resolve_gather(n: int, subpixel: bool):
+def _resolve_gather(n: int, subpixel: bool, u16: bool = False):
     """Gather strategy for a stack size: ('window'|'mxu'|'shuffle', group).
 
     Measured on one v5e core (n=33, 2200x3300, 2026-08-19):
 
-    * subpixel: mxu 88-90 ms beats window (103 at G=8, 123 at G=16) — the
-      windowed dot is ~1.5x smaller but its per-vreg extraction (gathers +
-      index builds scale with CHUNK*LP) costs more than it saves;
+    * u8 subpixel: mxu 88-90 ms beats window (103 at G=8, 123 at G=16) —
+      the windowed dot is ~1.5x smaller but its per-vreg extraction
+      (gathers + index builds scale with CHUNK*LP) costs more than it
+      saves;
     * integer: window at G=8 wins, 62.9 ms vs mxu's 70.1 (the dot shrinks
       ~2.6x and the y1-only extraction is cheap);
+    * u16 subpixel: the full-width mxu kernel FAILS TPU compilation at
+      production widths (Mosaic VMEM estimate 215.68M of 128M for the
+      byte-split gather scratch, 2026-08-20) — window, whose scratches are
+      ~10x smaller, is the default;
     * past the mxu section budget (3n > 128) the window path replaces the
       ~9x-slower shuffle up to its lane cap (n <= 96 subpixel / 192
       integer at G=8).
@@ -136,9 +141,9 @@ def _resolve_gather(n: int, subpixel: bool):
     if forced == "mxu":
         return ("mxu" if 3 * n <= 128 else "shuffle"), group
     # auto (see the measurements above)
-    if not subpixel and _window_ok(n, subpixel, group):
+    if (not subpixel or u16) and _window_ok(n, subpixel, group):
         return "window", group
-    if 3 * n <= 128:
+    if not u16 and 3 * n <= 128:
         return "mxu", group
     if _window_ok(n, subpixel, group):
         return "window", group
@@ -649,8 +654,9 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
     s0 = _pad2(stack0, ROW_BATCH, CHUNK)
     s1 = _pad2(stack1, ROW_BATCH, CHUNK)
     hp, wp = d32.shape
-    in_mod = 0xFFFF if stack0.dtype == jnp.uint16 else 0xFF
-    gather, group = _resolve_gather(n, bool(xs))
+    u16_in = stack0.dtype == jnp.uint16
+    in_mod = 0xFFFF if u16_in else 0xFF
+    gather, group = _resolve_gather(n, bool(xs), u16_in)
 
     if xs:
         # Pad the grid to a SWEEP_UNROLL multiple with copies of the last x

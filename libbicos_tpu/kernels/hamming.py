@@ -33,9 +33,11 @@ TPU mapping (nothing here resembles the CUDA code on purpose):
   ``col = 256*hi + lo`` with query-side coefficients ``[256, 1]``; the MXU
   therefore emits ``packed = s*8192 + col`` directly, and the entire VPU
   epilogue is ONE elementwise ``min`` per cost entry: the running minimum is
-  simultaneously (min cost, first argmin). A second contraction with the
-  bit-sign flipped emits ``col - s*8192``, whose running ``max`` yields the
-  *last* argmin. All packed values are exact f32 integers
+  simultaneously (min cost, first argmin). Everything else derives from the
+  SAME dot with broadcast adds — ``dot + (8191 - 2*col)`` re-packs for the
+  *last*-argmin tiebreak, and ``dot - col`` recovers pure ``s*8192`` for
+  the consistency reverse reduction — so each kernel issues exactly one
+  contraction per chunk. All packed values are exact f32 integers
   (|s|*8192 <= 2^21, col < 2^13 => |packed| < 2^22 < 2^24).
 
 * **Packed descriptors in HBM.** Descriptors travel as little-endian uint32
@@ -133,8 +135,10 @@ DEFAULT_ENGINE = _os.environ.get("BICOS_MXU_ENGINE", "bf16")
 # core: rows 1/2/4/8/16 -> 105.6/94.5/93.8/89.4/103.5 ms — 8 is the
 # optimum (-15%); 16 regresses (VMEM pressure breaks the pipeline).
 # VMEM cost: rows x BPAD x W1PAD scratch. The consistency kernel has its
-# own knob — two dots + the rev-scratch epilogue shift its optimum down
-# (same shape/protocol: rows 1/2/4/8 -> 149.3/145.0/143.4/154.1 ms).
+# own knob — its heavier rev-scratch epilogue shifts the optimum down
+# (bracketed when it still ran two dots per chunk: rows 1/2/4/8 ->
+# 149.3/145.0/143.4/154.1 ms; since then the second dot is derived from
+# the first, see _consistency_kernel).
 SEARCH_ROWS = int(_os.environ.get("BICOS_SEARCH_ROWS", "8"))
 CONS_ROWS = int(_os.environ.get("BICOS_CONS_ROWS", "4"))
 # Accumulator strategy: "1" keeps (TILE_I, 128) running minima and reduces
@@ -296,8 +300,9 @@ def _encode_a_bf16_stack(s_tile, cxb, cyb, nbits: int, u16: bool,
     ``shift`` = log2(pack_s) (13 for the default 8192 packing, 14 for the
     wide 16384 one). The dot emits s*pack_s + col when ``extras`` puts the
     [256, 1] col-split coefficients at lanes nbits/nbits+1;
-    ``extras=False`` zeroes them — a pure s*pack_s dot for the consistency
-    reverse direction."""
+    ``extras=False`` zeroes them for a pure s*pack_s dot (no current
+    caller — the consistency kernels derive s*pack_s from the extras dot
+    by subtracting the column broadcast)."""
     tile_i = s_tile.shape[1]
     bpad = cxb.shape[0]
     xv, yv = _cmp_dots(s_tile.astype(jnp.int32), cxb, cyb, u16, a_side=True)
@@ -860,10 +865,11 @@ def _consistency_kernel_bf16_stack(
 ):
     """bf16-engine fused transform + forward/reverse Consistency scan
     (combines :func:`_consistency_kernel` with the on-chip transform).
-    ``pop0`` for the reverse packing comes from a lane-sum of the query
-    bits; the second (bits-only) contraction supplies the pure ``s*8192``
-    the reverse direction needs. RB rows per grid step (``SEARCH_ROWS``);
-    each row owns 2 lanes of the shared rev scratch."""
+    ``pop0`` for the reverse packing comes from the query encoding's lane
+    sum (extras-corrected); the pure ``s*8192`` the reverse direction
+    needs is derived from the one forward dot by subtracting the column
+    broadcast — ONE contraction per chunk. RB rows per grid step
+    (``CONS_ROWS``); each row owns 2 lanes of the shared rev scratch."""
     i = pl.program_id(1)
     ni = pl.num_programs(1)
     rb = s0_ref.shape[0]
@@ -897,13 +903,13 @@ def _consistency_kernel_bf16_stack(
         a_f = _encode_a_bf16_stack(
             s0_ref[r], cxb, cyb, nbits, u16, extras=True, shift=shift
         )
-        a_s = _encode_a_bf16_stack(
-            s0_ref[r], cxb, cyb, nbits, u16, extras=False, shift=shift
-        )
 
-        # pop0 = number of set query bits: a_s carries -8192 per set bit
-        # and +8192 per clear bit over exactly nbits lanes.
-        sum_pm = jnp.sum(a_s.astype(jnp.float32), axis=1, keepdims=True)
+        # pop0 = number of set query bits, recovered from a_f's lane sum:
+        # the bit lanes contribute -pack_s per set / +pack_s per clear bit
+        # and the two col-split extras a constant 256 + 1 (all exact f32
+        # integers, so the correction is exact).
+        sum_pm = (jnp.sum(a_f.astype(jnp.float32), axis=1, keepdims=True)
+                  - jnp.float32(257.0))
         pop0 = (jnp.float32(nbits)
                 - sum_pm * jnp.float32(1.0 / pack_s)) * jnp.float32(0.5)
         radd_f = (pop0 * jnp.float32(pack_s)
@@ -912,7 +918,7 @@ def _consistency_kernel_bf16_stack(
                   + (jnp.float32(pack_s - 1) - row0.astype(jnp.float32))
                   + rowpen)
 
-        def chunk(j, accf, accl, r=r, a_f=a_f, a_s=a_s,
+        def chunk(j, accf, accl, r=r, a_f=a_f,
                   radd_f=radd_f, radd_l=radd_l):
             b_tile = b_scratch[r, :, pl.ds(j * tile_j, tile_j)]
             dn = (((1,), (0,)), ((), ()))
@@ -920,18 +926,19 @@ def _consistency_kernel_bf16_stack(
                 a_f, b_tile, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
             )
-            dots = jax.lax.dot_general(
-                a_s, b_tile, dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-            )
             colv = j * tile_j + jax.lax.broadcasted_iota(
                 jnp.int32, (1, tile_j), 1
             )
+            colf = colv.astype(jnp.float32)
+            # The reverse direction needs pure s*pack_s — derived from the
+            # SAME dot by subtracting the column broadcast (both exact f32
+            # integers), instead of the second bits-only contraction this
+            # kernel used to issue: halves the MXU work per chunk.
+            dots = dotf - colf
             pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
             accf = jnp.minimum(accf, dotf + pen)
             if no_dupes:
-                cvec = (jnp.float32(pack_s - 1)
-                        - 2.0 * colv.astype(jnp.float32)) + pen
+                cvec = (jnp.float32(pack_s - 1) - 2.0 * colf) + pen
                 accl = jnp.minimum(accl, dotf + cvec)
             rev_f = jnp.min(dots + radd_f, axis=0, keepdims=True)  # (1,TJ)
             js = pl.ds(j * tile_j, tile_j)
@@ -1136,9 +1143,6 @@ def _consistency_kernel(
     shift = pack_s.bit_length() - 1
     for r in range(rb):
         a_f = _encode_a(w0_ref[r], nbits, bpad, sign=-1, shift=shift)
-        # Bits-only query (extras zeroed): against b's col columns the
-        # extras contribute 0, so this dot emits pure s*pack_s.
-        a_s = _encode_a_bits(w0_ref[r], nbits, bpad, shift=shift)
 
         # Row-varying reverse terms: pop0*8192 restores the true Hamming
         # cost (s depends on the row's popcount, which is NOT constant
@@ -1152,7 +1156,7 @@ def _consistency_kernel(
                   + (jnp.float32(pack_s - 1) - row0.astype(jnp.float32))
                   + rowpen)
 
-        def chunk(j, accf, accl, r=r, a_f=a_f, a_s=a_s,
+        def chunk(j, accf, accl, r=r, a_f=a_f,
                   radd_f=radd_f, radd_l=radd_l):
             b_tile = b_scratch[r, pl.ds(j * tile_j, tile_j), :]
             dn = (((1,), (1,)), ((), ()))
@@ -1160,18 +1164,19 @@ def _consistency_kernel(
                 a_f, b_tile, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
             )
-            dots = jax.lax.dot_general(
-                a_s, b_tile, dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-            )
             colv = j * tile_j + jax.lax.broadcasted_iota(
                 jnp.int32, (1, tile_j), 1
             )
+            colf = colv.astype(jnp.float32)
+            # Pure s*pack_s for the reverse direction, derived from the
+            # SAME dot by subtracting the column broadcast (exact f32
+            # integers) — replaces the second bits-only contraction this
+            # kernel used to issue per chunk: halves the MXU work.
+            dots = dotf - colf
             pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
             accf = jnp.minimum(accf, dotf + pen)
             if no_dupes:
-                cvec = (jnp.float32(pack_s - 1)
-                        - 2.0 * colv.astype(jnp.float32)) + pen
+                cvec = (jnp.float32(pack_s - 1) - 2.0 * colf) + pen
                 accl = jnp.minimum(accl, dotf + cvec)
             # Reverse: min over rows of (ham*8192 + col0) per right column.
             rev_f = jnp.min(dots + radd_f, axis=0, keepdims=True)  # (1,TJ)
@@ -1229,11 +1234,11 @@ def _consistency_kernel_i8(
 ):
     """int8-MXU fused Consistency scan.
 
-    Beyond the 2x int8 MXU rate, this needs only ONE contraction per chunk:
-    the bf16 kernel runs a second matmul to get the pure ``s`` the reverse
-    direction needs (its forward dot has the col index folded in), whereas
-    here the dot IS pure ``s`` and both directions pack on the VPU.
-    RB image rows per grid step; each row owns 2 lanes of the rev scratch.
+    Like the bf16 kernel this issues ONE contraction per chunk — here the
+    dot IS pure ``s`` and both directions pack on the VPU (the bf16 kernel
+    instead derives ``s*pack_s`` from its extras dot by subtracting the
+    column broadcast). RB image rows per grid step; each row owns 2 lanes
+    of the rev scratch.
     """
     i = pl.program_id(1)
     ni = pl.num_programs(1)
@@ -1315,22 +1320,6 @@ def _consistency_kernel_i8(
                 ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
                 row=r, src_base=2 * r, pack_s=pack_s,
             )
-
-
-def _encode_a_bits(words_tile, nbits: int, bpad: int, shift: int = 13):
-    """Query-side encoding with ZERO extras: bit -> -8192, no bit -> +8192,
-    all columns >= nbits zero — the dot against an :func:`_encode_b` row
-    yields pure ``s*8192`` (the col columns multiply zeros)."""
-    t, nw = words_tile.shape
-    bits = _unpack_bits_i32(words_tile)
-    if bpad > nw * 32:
-        bits = jnp.concatenate(
-            [bits, jnp.zeros((t, bpad - nw * 32), jnp.int32)], axis=1
-        )
-    pm = (jnp.int32(1) - (bits << 1)) << shift
-    lane = jax.lax.broadcasted_iota(jnp.int32, (t, bpad), 1)
-    pm = jnp.where(lane >= nbits, 0, pm)
-    return pm.astype(jnp.bfloat16)
 
 
 def _pad_axis(x, axis: int, mult: int):

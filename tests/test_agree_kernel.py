@@ -210,6 +210,34 @@ def test_agree_kernel_gather_modes(rng, monkeypatch, step, gather):
     _assert_corr_close(corr, want_c)
 
 
+@pytest.mark.parametrize("step", [None, 0.25])
+def test_agree_kernel_window_i8_engine(rng, monkeypatch, step):
+    """The int8 gather engine must stay bit-exact through the windowed
+    path too (centered bytes undone post-dot; each one-hot row selects
+    exactly one window)."""
+    from libbicos_tpu.kernels import agree as kagree
+
+    monkeypatch.setattr(kagree, "AGREE_GATHER", "window")
+    monkeypatch.setattr(kagree, "AGREE_ENGINE", "i8")
+    w = 72 if step else 76  # distinct shapes per config (jit cache)
+    s0, s1, disp = _disp_for(rng, 6, 4, w)
+    out, corr = agree_pallas(disp, s0, s1, 0.5, step, 8.0, interpret=True)
+    if step is None:
+        want_d, want_c = oracle.agree(disp.copy(), s0, s1, 0.5, 8.0)
+        out = np.asarray(out)
+        got_i16 = np.where(np.isnan(out), np.int16(-32768),
+                           np.nan_to_num(out).astype(np.int16))
+        np.testing.assert_array_equal(got_i16, want_d)
+    else:
+        want_d, want_c = oracle.agree_subpixel(
+            disp.copy(), s0, s1, 0.5, step, 8.0, np.uint8)
+        got_d = np.asarray(out)
+        assert (np.isnan(got_d) == np.isnan(want_d)).all()
+        m = ~np.isnan(want_d)
+        np.testing.assert_array_equal(got_d[m], want_d[m])
+    _assert_corr_close(corr, want_c)
+
+
 @pytest.mark.parametrize("gsz", [8, 32])
 def test_agree_kernel_window_group_sizes(rng, monkeypatch, gsz):
     """The windowed gather must be exact for every supported group width
@@ -276,6 +304,11 @@ def test_agree_gather_resolution():
 
     assert _resolve_gather(33, True)[0] == "mxu"
     assert _resolve_gather(33, False) == ("window", 8)
+    # u16 subpixel avoids the full-width mxu kernel entirely: its byte-split
+    # gather scratch exceeds the Mosaic VMEM budget at production widths
+    # (compile-time OOM, measured 2026-08-20).
+    assert _resolve_gather(33, True, u16=True)[0] == "window"
+    assert _resolve_gather(33, False, u16=True)[0] == "window"
     # Past the mxu section budget (n > 42) the windowed gather still fits
     # its lane cap for a while — far cheaper than the shuffle fallback.
     assert _resolve_gather(44, True)[0] == "window"
