@@ -88,6 +88,16 @@ AGREE_GROUP = int(_os.environ.get("BICOS_AGREE_GROUP", "0"))
 # Lane budget for the windowed series matrix (bounds the per-chunk gather
 # scratch: ROW_BATCH * CHUNK * LANE_CAP * 4 bytes = ~25 MB at 1536).
 WINDOW_LANE_CAP = 1536
+# Dynamic gather window (columns) for the full-width mxu gather: within one
+# (row, CHUNK) chunk the matched columns col1 = col - d span at most
+# CHUNK + local-disparity-range columns, so for locally smooth (or merely
+# range-bounded) disparity fields the one-hot contraction only needs a
+# DYNWIN-column slice of the series matrix — K drops from the padded image
+# width (e.g. 3328) to DYNWIN. Exact: the wrapper computes each chunk's
+# span from the disparity map, and chunks that don't fit the window fall
+# back to the full-width dot IN-KERNEL (base sentinel -1), so results are
+# bit-identical for every input. Must be a multiple of 128; 0 disables.
+AGREE_DYNWIN = int(_os.environ.get("BICOS_AGREE_DYNWIN", "1024"))
 
 INVALID_I32 = -32768
 
@@ -148,6 +158,33 @@ def _resolve_gather(n: int, subpixel: bool, u16: bool = False):
     if _window_ok(n, subpixel, group):
         return "window", group
     return "shuffle", group
+
+
+def _chunk_window_bases(d32, w: int, wp: int, wcap: int):
+    """Per-(row, CHUNK-chunk) aligned dynamic-window base, or -1 sentinel.
+
+    A chunk's window must contain every VALID matched column (col1 clipped
+    to the row, exactly as the kernel computes it); invalid pixels gather
+    zeros through an all-false one-hot column, which is fine — their NXCORR
+    output is masked by ``keep`` before any write. The base is rounded down
+    to a 128-lane boundary for the in-kernel dynamic slice and clamped so
+    the window stays inside the padded row. Shifted sections (y0/y2) need
+    no extra margin: they were rolled on the FULL row before slicing, so
+    window lane ``l`` of section o1/o2 already holds the col1-1 / col1+1
+    value (image-edge wraps only reach border pixels, which take the
+    integer fallback — same as the full-width path)."""
+    col = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    valid = d32 != INVALID_I32
+    col1 = col - d32
+    keep = valid & (col1 >= 0) & (col1 < w)
+    col1c = jnp.clip(col1, 0, w - 1)
+    hp = d32.shape[0]
+    nc = wp // CHUNK
+    lo = jnp.where(keep, col1c, w - 1).reshape(hp, nc, CHUNK).min(axis=2)
+    hi = jnp.where(keep, col1c, 0).reshape(hp, nc, CHUNK).max(axis=2)
+    base = jnp.minimum(lo, wp - wcap) & ~jnp.int32(127)
+    ok = hi <= base + (wcap - 1)
+    return jnp.where(ok, base, jnp.int32(-1))
 
 
 def _gather_row(load_blk, bi, li, nblk: int):
@@ -288,6 +325,7 @@ def _left_stats(s0_ref, cs, n: int, fn, shape):
 
 def _agree_kernel(
     xs_ref,  # (1, XSPAD) f32 in SMEM — subpixel x grid (unused if empty)
+    bases_ref,  # (8, WP/CHUNK) i32 in SMEM — dynamic-window bases / -1
     disp_ref,  # (8, WP) i32
     s0_ref,  # (n, 8, WP) input dtype
     s1_ref,  # (n, 8, WP)
@@ -299,6 +337,7 @@ def _agree_kernel(
     n: int,
     w: int,
     wp: int,
+    wcap: int,  # dynamic-window width (0 = full-width dots only)
     threshold: float,
     minvar: Optional[float],
     xs: tuple,  # () for the integer variant
@@ -340,6 +379,35 @@ def _agree_kernel(
         # Unwritten rows' dot outputs are never read — zero once per step.
         bt_scratch[...] = jnp.zeros(bt_scratch.shape, bt_scratch.dtype)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, CHUNK), 0)
+        widx = (jax.lax.broadcasted_iota(jnp.int32, (wcap, CHUNK), 0)
+                if wcap else None)
+
+        def gather_dot(onehot_b, rhs):
+            # Exact for every engine: each one-hot column holds at most one
+            # 1 (an all-false column — an out-of-window invalid pixel —
+            # yields 0, masked by ``keep`` downstream).
+            if i8e:
+                g32 = jax.lax.dot_general(
+                    onehot_b.astype(jnp.int8), rhs,
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return (g32 + 128).astype(jnp.float32)
+            oh = jnp.where(
+                onehot_b, jnp.float32(1.0), jnp.float32(0.0)
+            ).astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                oh, rhs,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def store_g(r, cs, g, byte):
+            if u16 and byte == 1:
+                gout_scratch[r, cs, :] = (
+                    gout_scratch[r, cs, :] + g * jnp.float32(256.0))
+            else:
+                gout_scratch[r, cs, :] = g
 
         def cv(v32):
             # i8 engine: centered bytes (exact to undo post-dot); bf16
@@ -370,41 +438,40 @@ def _agree_kernel(
                         pltpu.roll(rows32, wp - 1, axis=1))
                 for oc in range(wp // CHUNK):
                     cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
-                    # One-hot built transposed, (WP, CHUNK): onehot_t[c, j]
+                    # One-hot built transposed, (K, CHUNK): onehot_t[c, j]
                     # = (c == col1[j]) — avoids a (1, CHUNK) -> (CHUNK, 1)
                     # vector relayout. The dot contracts its sublane axis
                     # against the series matrix's lane axis:
-                    # (WP, CHUNK) x (128, WP) -> (CHUNK, 128). Exact: each
-                    # dot row has a single 1 against byte values (centered
-                    # into int8 range for the i8 engine, +128 undone below);
-                    # u16 recombines hi/lo contractions as 256*hi + lo.
+                    # (K, CHUNK) x (128, K) -> (CHUNK, 128), where K is the
+                    # padded width or, when this chunk's matched columns fit
+                    # a dynamic window (base >= 0), just wcap — ~3x fewer
+                    # MXU flops AND a ~3x cheaper one-hot build at
+                    # production widths. u16 recombines hi/lo contractions
+                    # as 256*hi + lo.
                     # (The series-major orientation producing (128, CHUNK)
                     # directly measured 25% slower end-to-end: the sweep's
                     # per-shot middle-axis slices relayout worse than one
                     # chunk transpose.)
-                    onehot = cidx == col1c[r:r + 1, cs]
-                    if i8e:
-                        g32 = jax.lax.dot_general(
-                            onehot.astype(jnp.int8), bt_scratch[...],
-                            dimension_numbers=(((0,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32,
-                        )
-                        g = (g32 + 128).astype(jnp.float32)
+                    if wcap:
+                        base = bases_ref[r, oc]
+
+                        @pl.when(base >= 0)
+                        def _(base=base, r=r, cs=cs, byte=byte):
+                            bal = pl.multiple_of(base, 128)
+                            oh = widx == (col1c[r:r + 1, cs] - base)
+                            g = gather_dot(
+                                oh, bt_scratch[:, pl.ds(bal, wcap)])
+                            store_g(r, cs, g, byte)
+
+                        @pl.when(base < 0)
+                        def _(r=r, cs=cs, byte=byte):
+                            oh = cidx == col1c[r:r + 1, cs]
+                            g = gather_dot(oh, bt_scratch[...])
+                            store_g(r, cs, g, byte)
                     else:
-                        onehot_t = jnp.where(
-                            onehot, jnp.float32(1.0), jnp.float32(0.0)
-                        ).astype(jnp.bfloat16)
-                        g = jax.lax.dot_general(
-                            onehot_t, bt_scratch[...],
-                            dimension_numbers=(((0,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                    if u16 and byte == 1:
-                        gout_scratch[r, cs, :] = (
-                            gout_scratch[r, cs, :] + g * jnp.float32(256.0)
-                        )
-                    else:
-                        gout_scratch[r, cs, :] = g
+                        oh = cidx == col1c[r:r + 1, cs]
+                        g = gather_dot(oh, bt_scratch[...])
+                        store_g(r, cs, g, byte)
 
     for oc in range(wp // CHUNK):
         cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
@@ -721,9 +788,18 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
         return out[:h, :w], corr[:h, :w]
 
     mxu_gather = gather == "mxu"
+    # Dynamic gather window: only meaningful for the full-width mxu dot,
+    # and only when the padded width actually exceeds the window.
+    wcap = 0
+    if (mxu_gather and AGREE_DYNWIN > 0 and AGREE_DYNWIN % 128 == 0
+            and wp > AGREE_DYNWIN):
+        wcap = AGREE_DYNWIN
+    nc = wp // CHUNK
+    bases = (_chunk_window_bases(d32, w, wp, wcap) if wcap
+             else jnp.full((hp, nc), -1, jnp.int32))
     kernel = functools.partial(
         _agree_kernel,
-        n=n, w=w, wp=wp,
+        n=n, w=w, wp=wp, wcap=wcap,
         threshold=threshold, minvar=minvar, xs=xs, in_mod=in_mod,
         mxu_gather=mxu_gather,
         interpret=interpret,
@@ -733,6 +809,8 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
         grid=(hp // ROW_BATCH,),
         in_specs=[
             pl.BlockSpec((1, xspad), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROW_BATCH, nc), lambda r: (r, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((ROW_BATCH, wp), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
@@ -759,7 +837,7 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(xs_arr, d32, s0, s1)
+    )(xs_arr, bases, d32, s0, s1)
     return out[:h, :w], corr[:h, :w]
 
 
