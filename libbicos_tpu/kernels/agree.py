@@ -97,7 +97,11 @@ WINDOW_LANE_CAP = 1536
 # span from the disparity map, and chunks that don't fit the window fall
 # back to the full-width dot IN-KERNEL (base sentinel -1), so results are
 # bit-identical for every input. Must be a multiple of 128; 0 disables.
-AGREE_DYNWIN = int(_os.environ.get("BICOS_AGREE_DYNWIN", "1024"))
+# Default OFF: the per-chunk dual codepaths double the unrolled Mosaic
+# program and blew the round-2 driver bench's compile budget (BENCH_r02
+# rc=124) — re-enable only with a measured compile-time + runtime A/B row
+# in bench/results_v5e.jsonl (docs/TUNING.md).
+AGREE_DYNWIN = int(_os.environ.get("BICOS_AGREE_DYNWIN", "0"))
 
 INVALID_I32 = -32768
 
