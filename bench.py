@@ -13,14 +13,28 @@ not vendored, data/.MISSING_LARGE_BLOBS). Baseline: ~44 ms on an RTX 4090.
 
 Extra per-stage numbers go to stderr; the stdout contract stays one line.
 
+Robustness (round-2 lesson, BENCH_r02.json rc=124): the process is an
+ORCHESTRATOR that runs the actual measurement in a child under a wall-clock
+budget (BICOS_BENCH_BUDGET, default 560 s). A cold remote-compile of the
+fused headline pipeline can exceed any fixed driver timeout; if the headline
+child does not deliver its JSON inside its slice of the budget, the
+orchestrator kills it and falls back to the cheaper honest fused
+transform+search metric (one Pallas program instead of three), so ONE JSON
+line is emitted either way. Set BICOS_BENCH_CHILD=1 to run a measurement
+directly (no watchdog), which is what the orchestrator's children do.
+
 Env overrides: BICOS_BENCH_N, BICOS_BENCH_H, BICOS_BENCH_W,
-BICOS_BENCH_REPS, BICOS_BENCH_BACKEND, BICOS_BENCH_MODE (headline|search),
+BICOS_BENCH_REPS, BICOS_BENCH_BACKEND,
+BICOS_BENCH_MODE (headline|search|batched),
+BICOS_BENCH_BUDGET (orchestrator wall-clock budget, seconds),
 BICOS_BENCH_PLATFORM (e.g. "cpu" — pins jax_platforms before backend init;
 the JAX_PLATFORMS env var alone is overridden by site hooks here).
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -52,6 +66,68 @@ def _timeit(fn, reps):
         _ = float(leaf[(0,) * leaf.ndim])
         times.append((time.perf_counter() - t0) * 1e3)
     return float(np.median(times)), times
+
+
+def _spawn(mode, timeout_s):
+    """Run one measurement child; return its stdout JSON line or None.
+
+    The child gets its own process group so a timeout kill cannot leave a
+    grandchild holding the TPU tunnel. stderr passes straight through.
+    """
+    env = dict(os.environ)
+    env["BICOS_BENCH_CHILD"] = "1"
+    env["BICOS_BENCH_MODE"] = mode
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, stdout=subprocess.PIPE, start_new_session=True,
+    )
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"bench: {mode} child exceeded {timeout_s:.0f}s budget; "
+              "killing process group", file=sys.stderr, flush=True)
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        proc.wait()
+        return None
+    if proc.returncode != 0:
+        print(f"bench: {mode} child exited rc={proc.returncode}",
+              file=sys.stderr, flush=True)
+        return None
+    for line in reversed(out.decode().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return line
+    return None
+
+
+def orchestrate():
+    """Budgeted driver entry: headline first, honest fallback second."""
+    budget = float(os.environ.get("BICOS_BENCH_BUDGET", "560"))
+    mode = os.environ.get("BICOS_BENCH_MODE", "headline")
+    t0 = time.monotonic()
+    # Reserve enough of the budget for the fallback child's own backend
+    # init + (smaller) compile; the headline gets the rest. Explicit
+    # non-headline modes get the whole budget and no fallback.
+    reserve = 200.0 if mode == "headline" else 0.0
+    line = _spawn(mode, max(60.0, budget - reserve))
+    if line is None and mode == "headline":
+        remaining = budget - (time.monotonic() - t0)
+        print(f"bench: falling back to search mode "
+              f"({remaining:.0f}s left)", file=sys.stderr, flush=True)
+        line = _spawn("search", max(60.0, remaining - 5.0))
+    if line is None:
+        # Still emit the one-line contract so the driver records an
+        # honest failure instead of a timeout with no artifact.
+        line = json.dumps({
+            "metric": f"bench_{mode}_failed_within_budget",
+            "value": 0.0, "unit": "ms", "vs_baseline": 0.0,
+        })
+        print(line, flush=True)
+        sys.exit(4)
+    print(line, flush=True)
 
 
 def main():
@@ -219,4 +295,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BICOS_BENCH_CHILD"):
+        main()
+    else:
+        orchestrate()
