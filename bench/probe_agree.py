@@ -84,6 +84,8 @@ def main():
         "engine": kagree.AGREE_ENGINE,
         "n": n, "h": h, "w": w,
         "step": step_s, "dtype": dt_s,
+        "dynwin": kagree.AGREE_DYNWIN,
+        "chunk": kagree.CHUNK,
         "ms": round(med, 2),
     }))
 

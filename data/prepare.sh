@@ -17,9 +17,9 @@ if [ -d left ] && [ -d right ]; then
 fi
 
 if command -v curl >/dev/null 2>&1 && curl -fsSL --max-time 10 -o "$ARCHIVE" "$URL"; then
-    if [ -f sha256sums.txt ]; then
-        sha256sum -c sha256sums.txt
-    fi
+    # Unconditional, loud dataset-integrity check (reference
+    # data/prepare.sh:44-48; set -e aborts on mismatch).
+    sha256sum -c sha256sums.txt
     tar xf "$ARCHIVE"
     rm -f "$ARCHIVE"
     echo "downloaded reference dataset"

@@ -388,8 +388,10 @@ def _agree_kernel(
 
         def gather_dot(onehot_b, rhs):
             # Exact for every engine: each one-hot column holds at most one
-            # 1 (an all-false column — an out-of-window invalid pixel —
-            # yields 0, masked by ``keep`` downstream).
+            # 1. An all-false column (an out-of-window invalid pixel)
+            # yields 0 on the bf16 engine and 128 on the i8 engine (the
+            # unconditional +128 centering undo with no selected byte) —
+            # both garbage values are masked by ``keep`` downstream.
             if i8e:
                 g32 = jax.lax.dot_general(
                     onehot_b.astype(jnp.int8), rhs,

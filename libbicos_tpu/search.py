@@ -53,23 +53,24 @@ INVALID_I16 = jnp.int16(-32768)
 PACK_K = 32768
 
 
-def decode_packed_minima(mf, ml, w1: int, need_last: bool):
-    """Decode the PACK_K packings ``mf = cost*PACK_K + col`` and
-    ``ml = cost*PACK_K + (w1-1-col)`` into ``(cost, first, last-or-None)``.
+def decode_packed_minima(mf, ml, w1: int, need_last: bool,
+                         pack_k: int = PACK_K):
+    """Decode the packings ``mf = cost*pack_k + col`` and
+    ``ml = cost*pack_k + (w1-1-col)`` into ``(cost, first, last-or-None)``.
 
     Single decode shared by the XLA row scan here and the W-band ring
     (``sharding._ring_minima`` / ``row_minima_wband``) so the encode and
     decode rules cannot drift apart."""
-    cost = mf // PACK_K
-    first = mf - cost * PACK_K
+    cost = mf // pack_k
+    first = mf - cost * pack_k
     if need_last:
-        last = (w1 - 1) - (ml - (ml // PACK_K) * PACK_K)
+        last = (w1 - 1) - (ml - (ml // pack_k) * pack_k)
     else:
         last = None
     return cost, first, last
 
 
-def _row_chunk_minima(w0, w1, need_last: bool):
+def _row_chunk_minima(w0, w1, need_last: bool, pack_k: int = PACK_K):
     """Minima for one chunk of rows via direct XOR+popcount (int32 exact).
 
     w0: (R, W0, nw) uint32, w1: (R, W1, nw) uint32.
@@ -84,12 +85,62 @@ def _row_chunk_minima(w0, w1, need_last: bool):
         p = jax.lax.population_count(x).astype(jnp.int32)
         cost = p if cost is None else cost + p
     col = jnp.arange(wid1, dtype=jnp.int32)
-    pf = cost * PACK_K + col[None, None, :]
+    pf = cost * pack_k + col[None, None, :]
     mf = jnp.min(pf, axis=2)
     if need_last:
-        pl_ = cost * PACK_K + (wid1 - 1 - col)[None, None, :]
+        pl_ = cost * pack_k + (wid1 - 1 - col)[None, None, :]
         ml = jnp.min(pl_, axis=2)
     else:
+        ml = jnp.zeros_like(mf)
+    return mf, ml
+
+
+# Column-chunk width for very wide rows: bounds the materialized cost slab
+# to (row_chunk, W0, COL_CHUNK) int32 regardless of the image width.
+COL_CHUNK = 8192
+
+
+def _row_chunk_minima_cols(w0, w1, need_last: bool, pack_k: int):
+    """Column-chunked :func:`_row_chunk_minima` for unbounded image widths.
+
+    The reference's CPU scan walks any width with O(1) state
+    (bicos.hpp:54); this is its XLA equivalent — a ``lax.scan`` over
+    COL_CHUNK column slabs folding a running packed minimum, so memory
+    stays O(R * W0 * COL_CHUNK) while the packing widens to the next power
+    of two >= W1 (exact in int32 for widths up to 2^22 at 256 bits).
+    """
+    r, wid0, nw = w0.shape
+    wid1 = w1.shape[1]
+    ncc = -(-wid1 // COL_CHUNK)
+    padc = ncc * COL_CHUNK - wid1
+    w1p = jnp.pad(w1, ((0, 0), (0, padc), (0, 0)))
+    w1cc = jnp.moveaxis(w1p.reshape(r, ncc, COL_CHUNK, nw), 1, 0)
+    big = jnp.int32(2**30)  # > any real packing; never decoded
+
+    def step(carry, args):
+        w1c, base = args
+        cost = None
+        for k in range(nw):
+            x = w0[:, :, None, k] ^ w1c[:, None, :, k]
+            p = jax.lax.population_count(x).astype(jnp.int32)
+            cost = p if cost is None else cost + p
+        col = base + jnp.arange(COL_CHUNK, dtype=jnp.int32)
+        ok = (col < wid1)[None, None, :]
+        pf = jnp.where(ok, cost * pack_k + col[None, None, :], big)
+        mf = jnp.minimum(carry[0], jnp.min(pf, axis=2))
+        if need_last:
+            pl_ = jnp.where(
+                ok, cost * pack_k + (wid1 - 1 - col)[None, None, :], big)
+            ml = jnp.minimum(carry[1], jnp.min(pl_, axis=2))
+        else:
+            ml = carry[1]
+        return (mf, ml), None
+
+    init = (jnp.full((r, wid0), big, jnp.int32),
+            jnp.full((r, wid0), big, jnp.int32))
+    bases = jnp.arange(ncc, dtype=jnp.int32) * COL_CHUNK
+    (mf, ml), _ = jax.lax.scan(step, init, (w1cc, bases))
+    if not need_last:
         ml = jnp.zeros_like(mf)
     return mf, ml
 
@@ -121,9 +172,24 @@ def row_minima_xla_words(
     """
     h, w0, _ = words0.shape
     w1 = words1.shape[1]
-    if max(w0, w1) > PACK_K:
-        raise ValueError(f"image width > {PACK_K} not supported yet")
+    if w1 <= PACK_K:
+        pack_k = PACK_K
+    else:
+        # Unbounded-width support (reference scans any width,
+        # bicos.hpp:54): widen the packing to the next power of two and
+        # fold column slabs sequentially. cost*pack_k + col stays exact in
+        # int32 up to pack_k = 2^22 (cost <= 256 bits).
+        pack_k = 1 << (w1 - 1).bit_length()
+        if pack_k > 1 << 22:
+            raise ValueError(
+                f"image width {w1} > {1 << 22} overflows the int32 "
+                "cost-packing")
 
+    col_chunked = w1 > 2 * COL_CHUNK
+    if col_chunked:
+        # Bound the (row_chunk, W0, COL_CHUNK) int32 cost slab to ~1 GiB.
+        row_chunk = max(
+            1, min(row_chunk, (1 << 28) // max(1, w0 * COL_CHUNK)))
     pad = (-h) % row_chunk
     if pad:
         words0 = jnp.pad(words0, ((0, pad), (0, 0), (0, 0)))
@@ -131,13 +197,14 @@ def row_minima_xla_words(
     nchunk = words0.shape[0] // row_chunk
     w0c = words0.reshape(nchunk, row_chunk, w0, words0.shape[-1])
     w1c = words1.reshape(nchunk, row_chunk, w1, words1.shape[-1])
+    fn = _row_chunk_minima_cols if col_chunked else _row_chunk_minima
     mf, ml = jax.lax.map(
-        lambda args: _row_chunk_minima(args[0], args[1], need_last),
+        lambda args: fn(args[0], args[1], need_last, pack_k),
         (w0c, w1c),
     )
     mf = mf.reshape(-1, w0)[:h]
     ml = ml.reshape(-1, w0)[:h]
-    return decode_packed_minima(mf, ml, w1, need_last)
+    return decode_packed_minima(mf, ml, w1, need_last, pack_k)
 
 
 def _row_minima_w(words0, words1, nbits, need_last: bool, backend: str):

@@ -217,3 +217,28 @@ def test_fused_search_production_width(rng):
     got = np.asarray(search.search_stack(
         s0, s1, mode, NoDuplicates(), backend="pallas_interpret"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_xla_search_unbounded_width(rng):
+    """W1 > 32768 takes the widened-packing, column-chunked XLA scan
+    (capability parity with the reference's any-width CPU loop,
+    bicos.hpp:54); exact vs a direct NumPy popcount argmin."""
+    from libbicos_tpu.search import row_minima_xla_words
+
+    h, w0, w1, nw = 2, 24, 33000, 2
+    words0 = rng.integers(0, 2**32, size=(h, w0, nw), dtype=np.uint32)
+    words1 = rng.integers(0, 2**32, size=(h, w1, nw), dtype=np.uint32)
+    cost, first, last = row_minima_xla_words(
+        jnp.asarray(words0), jnp.asarray(words1), True)
+    # NumPy oracle: popcount via uint8 view + lookup table.
+    lut = np.array([bin(i).count("1") for i in range(256)], np.int32)
+    c = np.zeros((h, w0, w1), np.int32)
+    for k in range(nw):
+        x = (words0[:, :, None, k] ^ words1[:, None, :, k])
+        c += lut[x.view(np.uint8).reshape(h, w0, w1, 4)].sum(-1)
+    want_cost = c.min(axis=2)
+    want_first = c.argmin(axis=2)
+    want_last = w1 - 1 - c[:, :, ::-1].argmin(axis=2)
+    np.testing.assert_array_equal(np.asarray(cost), want_cost)
+    np.testing.assert_array_equal(np.asarray(first), want_first)
+    np.testing.assert_array_equal(np.asarray(last), want_last)
