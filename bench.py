@@ -225,14 +225,17 @@ def main():
 
     if mode == "batched":
         # Throughput mode: capability the reference lacks (batch folded into
-        # the row axis). Reports stacks/s.
+        # the row axis). Reports stacks/s. Staging uploads PRE-FOLDED
+        # (n, batch*H, W) rows — the serving layout — so the device never
+        # pays the ~GB-scale transposed input copies that capped the batch
+        # at 4 (see pipeline.match_batched_folded).
         batch = int(os.environ.get("BICOS_BENCH_BATCH", "4"))
         cfg = bicos.Config(nxcorr_threshold=0.9, min_variance=2.0,
                            mode=bicos.TransformMode.LIMITED)
-        b0 = jnp.asarray(np.stack([s0] * batch))
-        b1 = jnp.asarray(np.stack([s1] * batch))
+        b0 = jnp.asarray(np.concatenate([s0] * batch, axis=1))
+        b1 = jnp.asarray(np.concatenate([s1] * batch, axis=1))
         jax.block_until_ready(
-            bicos.match_batched(b0, b1, cfg, backend=backend))
+            bicos.match_batched_folded(b0, b1, batch, cfg, backend=backend))
         _bc = {}
 
         def bpert(k):
@@ -243,8 +246,8 @@ def main():
         for k in range(1, reps + 1):
             bpert(k)
         med, times = _timeit(
-            lambda k: bicos.match_batched(
-                bpert(k), b1, cfg, backend=backend),
+            lambda k: bicos.match_batched_folded(
+                bpert(k), b1, batch, cfg, backend=backend),
             reps)
         sps = batch / (med / 1e3)
         print(f"batched times ms: {[f'{t:.1f}' for t in times]}",

@@ -26,7 +26,7 @@ from .config import (
     max_stacksize,
     required_bits,
 )
-from .pipeline import match, match_batched
+from .pipeline import match, match_batched, match_batched_folded
 
 __version__ = "0.1.0"
 
@@ -43,6 +43,7 @@ __all__ = [
     "is_invalid",
     "match",
     "match_batched",
+    "match_batched_folded",
     "max_stacksize",
     "required_bits",
     "__version__",

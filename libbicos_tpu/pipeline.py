@@ -207,11 +207,43 @@ def match_batched(
     tiles full.
     """
     flat0, flat1, (b, h, w) = _fold_batch(stacks0, stacks1)
+    return match_batched_folded(
+        flat0, flat1, b, cfg, corrmap=corrmap, backend=backend)
+
+
+def match_batched_folded(
+    flat0,
+    flat1,
+    batch: int,
+    cfg: Config = Config(),
+    *,
+    corrmap: bool = False,
+    backend: str = "auto",
+):
+    """Batched matching on PRE-FOLDED ``(n, batch*H, W)`` stacks.
+
+    The fold (batch into the row axis) is a real transpose when it runs on
+    device: at batch=8 x 33 x 2200 x 3300 the transposed copies alone are
+    ~3.8 GB of HBM — the measured RESOURCE_EXHAUSTED ceiling behind
+    BASELINE.md's batch=4 limit. Callers that control staging (the serving
+    daemon, the bench) can upload rows already folded — appending a pair's
+    rows is plain concatenation — and skip that copy entirely; this entry
+    trusts the layout and only reshapes the output back to per-pair maps.
+    """
+    flat0 = jnp.asarray(flat0)
+    flat1 = jnp.asarray(flat1)
+    if flat0.ndim != 3 or flat0.shape != flat1.shape:
+        raise ValueError("folded stacks must share one (n, batch*H, W) shape")
+    if batch < 1 or flat0.shape[1] % batch:
+        raise ValueError(
+            f"row count {flat0.shape[1]} is not a multiple of batch {batch}")
+    h = flat0.shape[1] // batch
+    w = flat0.shape[2]
     out = match(flat0, flat1, cfg, corrmap=corrmap, backend=backend)
     if corrmap:
         disp, corr = out
-        return disp.reshape(b, h, w), corr.reshape(b, h, w)
-    return out.reshape(b, h, w)
+        return disp.reshape(batch, h, w), corr.reshape(batch, h, w)
+    return out.reshape(batch, h, w)
 
 
 def _fold_batch(stacks0, stacks1):

@@ -74,6 +74,25 @@ def test_match_batched(rng):
     np.testing.assert_array_equal(batched[1], single_b)
 
 
+def test_match_batched_folded(rng):
+    """Pre-folded (n, batch*H, W) staging (the serving/bench layout) must
+    equal the (batch, n, H, W) entry and per-pair matches; bad row counts
+    and odd-H pair boundaries mid-row-batch stay exact."""
+    s0a, s1a, _ = make_stack_pair(rng, 6, 5, 12)  # H=5: boundaries mid-8
+    s0b, s1b, _ = make_stack_pair(rng, 6, 5, 12)
+    cfg = bicos.Config(nxcorr_threshold=0.5)
+    flat0 = np.concatenate([s0a, s0b], axis=1)
+    flat1 = np.concatenate([s1a, s1b], axis=1)
+    folded = np.asarray(bicos.match_batched_folded(
+        flat0, flat1, 2, cfg, backend="xla"))
+    single_a = np.asarray(bicos.match(s0a, s1a, cfg, backend="xla"))
+    single_b = np.asarray(bicos.match(s0b, s1b, cfg, backend="xla"))
+    np.testing.assert_array_equal(folded[0], single_a)
+    np.testing.assert_array_equal(folded[1], single_b)
+    with pytest.raises(ValueError):
+        bicos.match_batched_folded(flat0, flat1, 3, cfg, backend="xla")
+
+
 def test_uint16_inputs(rng):
     s0, s1, _ = make_stack_pair(rng, 8, 4, 12, np.uint16)
     cfg = bicos.Config(nxcorr_threshold=0.5)
