@@ -98,7 +98,7 @@ class Engine:
         self._compiled: Dict[tuple, bool] = {}
 
     def _run(self, s0, s1, cfg: Config, corrmap: bool):
-        from . import match, match_batched
+        from . import match, match_batched_folded
         from .sharding import match_batched_sharded, match_sharded
 
         batched = s0.ndim == 4  # (batch, n, H, W): throughput layout
@@ -108,8 +108,18 @@ class Engine:
                 s0, s1, cfg, mesh=self.mesh, corrmap=corrmap,
                 backend=self.backend,
             )
-        fn = match_batched if batched else match
-        return fn(s0, s1, cfg, corrmap=corrmap, backend=self.backend)
+        if batched:
+            # Fold on the HOST at staging time: the device-side transpose of
+            # (batch, n, H, W) is GBs of HBM at production batch sizes
+            # (pipeline.match_batched_folded).
+            b, n, h, w = s0.shape
+            flat0 = np.ascontiguousarray(
+                np.moveaxis(np.asarray(s0), 0, 1)).reshape(n, b * h, w)
+            flat1 = np.ascontiguousarray(
+                np.moveaxis(np.asarray(s1), 0, 1)).reshape(n, b * h, w)
+            return match_batched_folded(
+                flat0, flat1, b, cfg, corrmap=corrmap, backend=self.backend)
+        return match(s0, s1, cfg, corrmap=corrmap, backend=self.backend)
 
     def match(self, s0: np.ndarray, s1: np.ndarray,
               cfg: Optional[Config] = None, *, corrmap: bool = False):
