@@ -68,7 +68,7 @@ def _timeit(fn, reps):
     return float(np.median(times)), times
 
 
-def _spawn(mode, timeout_s):
+def _spawn(mode, timeout_s, extra_env=None):
     """Run one measurement child; return its stdout JSON line or None.
 
     The child gets its own process group so a timeout kill cannot leave a
@@ -77,6 +77,7 @@ def _spawn(mode, timeout_s):
     env = dict(os.environ)
     env["BICOS_BENCH_CHILD"] = "1"
     env["BICOS_BENCH_MODE"] = mode
+    env.update(extra_env or {})
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)],
         env=env, stdout=subprocess.PIPE, start_new_session=True,
@@ -117,7 +118,17 @@ def orchestrate():
         remaining = budget - (time.monotonic() - t0)
         print(f"bench: falling back to search mode "
               f"({remaining:.0f}s left)", file=sys.stderr, flush=True)
-        line = _spawn("search", max(60.0, remaining - 5.0))
+        line = _spawn("search", max(60.0, remaining - 70.0))
+    if line is None and mode == "headline":
+        # Last tier: the XLA-backend headline. No Mosaic kernels, so the
+        # compile is tens of seconds even fully cold; the runtime is the
+        # honest (much slower) XLA number.
+        remaining = budget - (time.monotonic() - t0)
+        print(f"bench: falling back to XLA backend "
+              f"({remaining:.0f}s left)", file=sys.stderr, flush=True)
+        line = _spawn(
+            "headline", max(60.0, remaining - 5.0),
+            {"BICOS_BENCH_BACKEND": "xla", "BICOS_BENCH_REPS": "2"})
     if line is None:
         # Still emit the one-line contract so the driver records an
         # honest failure instead of a timeout with no artifact.
