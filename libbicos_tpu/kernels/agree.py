@@ -399,9 +399,9 @@ def _agree_kernel(
                     preferred_element_type=jnp.int32,
                 )
                 return (g32 + 128).astype(jnp.float32)
-            oh = jnp.where(
-                onehot_b, jnp.float32(1.0), jnp.float32(0.0)
-            ).astype(jnp.bfloat16)
+            # Direct bool->bf16 cast (exact 1.0/0.0) — one VPU pass instead
+            # of the select+cast pair over the (K, CHUNK) mask.
+            oh = onehot_b.astype(jnp.bfloat16)
             return jax.lax.dot_general(
                 oh, rhs,
                 dimension_numbers=(((0,), (1,)), ((), ())),
@@ -624,9 +624,8 @@ def _agree_window_kernel(
                     )
                     gg = (g32 + 128).astype(jnp.float32)
                 else:
-                    oh = jnp.where(
-                        onehot, jnp.float32(1.0), jnp.float32(0.0)
-                    ).astype(jnp.bfloat16)
+                    # Direct bool->bf16 cast (exact 1.0/0.0), one VPU pass.
+                    oh = onehot.astype(jnp.bfloat16)
                     gg = jax.lax.dot_general(
                         oh, bt,
                         dimension_numbers=(((0,), (0,)), ((), ())),
