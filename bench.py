@@ -247,19 +247,26 @@ def main():
         b1 = jnp.asarray(np.concatenate([s1] * batch, axis=1))
         jax.block_until_ready(
             bicos.match_batched_folded(b0, b1, batch, cfg, backend=backend))
-        _bc = {}
 
-        def bpert(k):
-            if k not in _bc:
-                _bc[k] = jax.block_until_ready(b0 ^ np.uint8(k))
-            return _bc[k]
+        # One rotating perturbed buffer: caching reps+1 distinct perturbed
+        # copies (1.9 GB each at batch=8) OOMed the 16 GB HBM from the
+        # HARNESS side (measured RESOURCE_EXHAUSTED 2026-08-20). The XOR
+        # runs OUTSIDE the timed region; dropping the previous buffer
+        # before the next rep keeps exactly one copy live.
+        def run_once(k):
+            xb = jax.block_until_ready(b0 ^ np.uint8(k))
+            t0 = time.perf_counter()
+            out = bicos.match_batched_folded(
+                xb, b1, batch, cfg, backend=backend)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            _ = float(leaf[(0,) * leaf.ndim])
+            dt = (time.perf_counter() - t0) * 1e3
+            del out, xb
+            return dt
 
-        for k in range(1, reps + 1):
-            bpert(k)
-        med, times = _timeit(
-            lambda k: bicos.match_batched_folded(
-                bpert(k), b1, batch, cfg, backend=backend),
-            reps)
+        run_once(reps + 1)  # untimed warm rep (lazy-runtime setup)
+        times = [run_once(k) for k in range(1, reps + 1)]
+        med = float(np.median(times))
         sps = batch / (med / 1e3)
         print(f"batched times ms: {[f'{t:.1f}' for t in times]}",
               file=sys.stderr)

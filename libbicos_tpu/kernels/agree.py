@@ -64,7 +64,13 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 ROW_BATCH = 8
-CHUNK = int(_os.environ.get("BICOS_AGREE_CHUNK", "512"))
+# Left-pixel chunk per gather dot. 0 = auto per gather path (measured
+# 2026-08-20, one v5e core, n=33 2200x3300): 256 for the full-width mxu
+# gather under the dynamic window (72.2 ms vs 88 at 512 full-width — the
+# smaller one-hot build/window pays twice), 512 for the window/shuffle
+# paths and the full-width dot (768 measured ~11% worse, 1024 exceeds the
+# kernel VMEM budget).
+CHUNK = int(_os.environ.get("BICOS_AGREE_CHUNK", "0"))
 BLK = 128  # dynamic_gather span
 # Subpixel x-values evaluated per fori iteration (see the sweep loop).
 SWEEP_UNROLL = int(_os.environ.get("BICOS_SWEEP_UNROLL", "3"))
@@ -96,12 +102,15 @@ WINDOW_LANE_CAP = 1536
 # width (e.g. 3328) to DYNWIN. Exact: the wrapper computes each chunk's
 # span from the disparity map, and chunks that don't fit the window fall
 # back to the full-width dot IN-KERNEL (base sentinel -1), so results are
-# bit-identical for every input. Must be a multiple of 128; 0 disables.
-# Default OFF: the per-chunk dual codepaths double the unrolled Mosaic
-# program and blew the round-2 driver bench's compile budget (BENCH_r02
-# rc=124) — re-enable only with a measured compile-time + runtime A/B row
-# in bench/results_v5e.jsonl (docs/TUNING.md).
-AGREE_DYNWIN = int(_os.environ.get("BICOS_AGREE_DYNWIN", "0"))
+# bit-identical for every input. Must be a multiple of 128; 0 disables;
+# "auto" (the default) pairs a 640-column window with CHUNK=256 on the mxu
+# gather — measured 72.2 ms vs 88 full-width at the headline shape AND a
+# 3x smaller standalone program (44.7 s vs 126-132 s compile, 2026-08-20).
+# The round-2 lesson (BENCH_r02 rc=124) was the 512/1024 combination,
+# whose dual per-chunk codepaths inflated the whole-pipeline cold compile
+# to 490 s; the 256/640 program is the shape that pays for itself.
+_dw = _os.environ.get("BICOS_AGREE_DYNWIN", "auto")
+AGREE_DYNWIN = None if _dw == "auto" else int(_dw)
 
 INVALID_I32 = -32768
 
@@ -128,12 +137,14 @@ def _resolve_gather(n: int, subpixel: bool, u16: bool = False):
 
     Measured on one v5e core (n=33, 2200x3300, 2026-08-19):
 
-    * u8 subpixel: mxu 88-90 ms beats window (103 at G=8, 123 at G=16) —
-      the windowed dot is ~1.5x smaller but its per-vreg extraction
-      (gathers + index builds scale with CHUNK*LP) costs more than it
-      saves;
-    * integer: window at G=8 wins, 62.9 ms vs mxu's 70.1 (the dot shrinks
-      ~2.6x and the y1-only extraction is cheap);
+    * u8 subpixel: mxu wins — 72.2 ms with the auto dynamic window
+      (256/640, 2026-08-20) vs window's 103 at G=8 / 123 at G=16 (the
+      windowed dot is ~1.5x smaller but its per-vreg extraction costs
+      more than it saves);
+    * u8 integer: mxu with the dynamic window wins too — 56.9 ms at
+      256/640 (2026-08-20) vs window's 62.9 at G=8 and full-width mxu's
+      70.1; window remains the 42 < n <= 192 path where 3n no longer fits
+      the mxu section budget;
     * u16 subpixel: the full-width mxu kernel FAILS TPU compilation at
       production widths (Mosaic VMEM estimate 215.68M of 128M for the
       byte-split gather scratch, 2026-08-20) — window, whose scratches are
@@ -155,7 +166,7 @@ def _resolve_gather(n: int, subpixel: bool, u16: bool = False):
     if forced == "mxu":
         return ("mxu" if 3 * n <= 128 else "shuffle"), group
     # auto (see the measurements above)
-    if (not subpixel or u16) and _window_ok(n, subpixel, group):
+    if u16 and _window_ok(n, subpixel, group):
         return "window", group
     if not u16 and 3 * n <= 128:
         return "mxu", group
@@ -164,7 +175,7 @@ def _resolve_gather(n: int, subpixel: bool, u16: bool = False):
     return "shuffle", group
 
 
-def _chunk_window_bases(d32, w: int, wp: int, wcap: int):
+def _chunk_window_bases(d32, w: int, wp: int, wcap: int, chunk: int):
     """Per-(row, CHUNK-chunk) aligned dynamic-window base, or -1 sentinel.
 
     A chunk's window must contain every VALID matched column (col1 clipped
@@ -183,9 +194,9 @@ def _chunk_window_bases(d32, w: int, wp: int, wcap: int):
     keep = valid & (col1 >= 0) & (col1 < w)
     col1c = jnp.clip(col1, 0, w - 1)
     hp = d32.shape[0]
-    nc = wp // CHUNK
-    lo = jnp.where(keep, col1c, w - 1).reshape(hp, nc, CHUNK).min(axis=2)
-    hi = jnp.where(keep, col1c, 0).reshape(hp, nc, CHUNK).max(axis=2)
+    nc = wp // chunk
+    lo = jnp.where(keep, col1c, w - 1).reshape(hp, nc, chunk).min(axis=2)
+    hi = jnp.where(keep, col1c, 0).reshape(hp, nc, chunk).max(axis=2)
     base = jnp.minimum(lo, wp - wcap) & ~jnp.int32(127)
     ok = hi <= base + (wcap - 1)
     return jnp.where(ok, base, jnp.int32(-1))
@@ -342,6 +353,7 @@ def _agree_kernel(
     w: int,
     wp: int,
     wcap: int,  # dynamic-window width (0 = full-width dots only)
+    chunk: int,
     threshold: float,
     minvar: Optional[float],
     xs: tuple,  # () for the integer variant
@@ -382,8 +394,8 @@ def _agree_kernel(
         o1, o2 = (n8, 2 * n8) if (xs and 2 * n8 + n <= 128) else (n, 2 * n)
         # Unwritten rows' dot outputs are never read — zero once per step.
         bt_scratch[...] = jnp.zeros(bt_scratch.shape, bt_scratch.dtype)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, CHUNK), 0)
-        widx = (jax.lax.broadcasted_iota(jnp.int32, (wcap, CHUNK), 0)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, chunk), 0)
+        widx = (jax.lax.broadcasted_iota(jnp.int32, (wcap, chunk), 0)
                 if wcap else None)
 
         def gather_dot(onehot_b, rhs):
@@ -442,9 +454,9 @@ def _agree_kernel(
                         pltpu.roll(rows32, 1, axis=1))
                     bt_scratch[o2:o2 + n, :] = cv(
                         pltpu.roll(rows32, wp - 1, axis=1))
-                for oc in range(wp // CHUNK):
-                    cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
-                    # One-hot built transposed, (K, CHUNK): onehot_t[c, j]
+                for oc in range(wp // chunk):
+                    cs = slice(oc * chunk, (oc + 1) * chunk)
+                    # One-hot built transposed, (K, chunk): onehot_t[c, j]
                     # = (c == col1[j]) — avoids a (1, CHUNK) -> (CHUNK, 1)
                     # vector relayout. The dot contracts its sublane axis
                     # against the series matrix's lane axis:
@@ -479,14 +491,14 @@ def _agree_kernel(
                         g = gather_dot(oh, bt_scratch[...])
                         store_g(r, cs, g, byte)
 
-    for oc in range(wp // CHUNK):
-        cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
+    for oc in range(wp // chunk):
+        cs = slice(oc * chunk, (oc + 1) * chunk)
         c1 = col1c[:, cs]
         i1 = c1
         i0 = jnp.maximum(c1 - 1, 0)
         i2 = jnp.minimum(c1 + 1, w - 1)
 
-        diff0, var0 = _left_stats(s0_ref, cs, n, fn, (ROW_BATCH, CHUNK))
+        diff0, var0 = _left_stats(s0_ref, cs, n, fn, (ROW_BATCH, chunk))
 
         # Gather the matched right series (and neighbours when sweeping).
         y1 = []
@@ -533,6 +545,7 @@ def _agree_window_kernel(
     wp: int,
     gsz: int,
     lanes: int,
+    chunk: int,
     threshold: float,
     minvar: Optional[float],
     xs: tuple,
@@ -595,13 +608,13 @@ def _agree_window_kernel(
     # so the per-chunk window offsets q0/q1/q2 slice out relayout-free.
     col1c_t = jnp.transpose(col1c)  # (WP, ROW_BATCH)
 
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (ng, CHUNK), 0)
-    lloc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (ng, chunk), 0)
+    lloc = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
     kq = lloc & 3  # y0/y1/y2/pad position within a compacted quad
 
-    for oc in range(wp // CHUNK):
-        cs = slice(oc * CHUNK, (oc + 1) * CHUNK)
-        diff0, var0 = _left_stats(s0_ref, cs, n, fn, (ROW_BATCH, CHUNK))
+    for oc in range(wp // chunk):
+        cs = slice(oc * chunk, (oc + 1) * chunk)
+        diff0, var0 = _left_stats(s0_ref, cs, n, fn, (ROW_BATCH, chunk))
 
         for r in range(ROW_BATCH):
             c1r = col1c[r:r + 1, cs]  # (1, CHUNK) — lane-major for one-hot
@@ -661,7 +674,7 @@ def _agree_window_kernel(
                     kq == 0, q0, jnp.where(kq == 2, q2, q1))
                 idx = ((lloc >> 2) * lanes) + qsel
             else:
-                qsel = jnp.broadcast_to(q1, (CHUNK, 128))
+                qsel = jnp.broadcast_to(q1, (chunk, 128))
                 idx = lloc * lanes + qsel
             idx = jnp.where(lloc < cw, idx, 0)
             for sl in range(lp // 128):
@@ -722,13 +735,26 @@ def _window_series(s1, gsz: int, subpixel: bool, lp: int):
 )
 def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
     n, h, w = stack0.shape
-    d32 = _pad2(disp.astype(jnp.int32), ROW_BATCH, CHUNK, value=INVALID_I32)
-    s0 = _pad2(stack0, ROW_BATCH, CHUNK)
-    s1 = _pad2(stack1, ROW_BATCH, CHUNK)
-    hp, wp = d32.shape
     u16_in = stack0.dtype == jnp.uint16
     in_mod = 0xFFFF if u16_in else 0xFF
     gather, group = _resolve_gather(n, bool(xs), u16_in)
+
+    # Chunk / dynamic-window resolution (measured bracket, docs/TUNING.md):
+    # the mxu gather pairs CHUNK=256 with a 640-column window (72.2 ms and
+    # a 3x smaller program vs 88 ms full-width at 512); the window/shuffle
+    # paths keep the measured 512 optimum. Explicit env values win.
+    wcap_req = 0
+    if gather == "mxu":
+        if AGREE_DYNWIN is None:  # auto
+            wcap_req = 640 if (CHUNK or 256) == 256 else 1024
+        else:
+            wcap_req = AGREE_DYNWIN
+    chunk = CHUNK or (256 if (gather == "mxu" and wcap_req) else 512)
+
+    d32 = _pad2(disp.astype(jnp.int32), ROW_BATCH, chunk, value=INVALID_I32)
+    s0 = _pad2(stack0, ROW_BATCH, chunk)
+    s1 = _pad2(stack1, ROW_BATCH, chunk)
+    hp, wp = d32.shape
 
     if xs:
         # Pad the grid to a SWEEP_UNROLL multiple with copies of the last x
@@ -752,7 +778,7 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
         s1w = _window_series(s1, gsz, bool(xs), lp)
         kernel = functools.partial(
             _agree_window_kernel,
-            n=n, w=w, wp=wp, gsz=gsz, lanes=lanes,
+            n=n, w=w, wp=wp, gsz=gsz, lanes=lanes, chunk=chunk,
             threshold=threshold, minvar=minvar, xs=xs, in_mod=in_mod,
             i8e=i8e, interpret=interpret,
         )
@@ -783,7 +809,7 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
                 pltpu.VMEM(
                     (2 if stack0.dtype == jnp.uint16 else 1,
                      ROW_BATCH, ng, lp), b_dtype),
-                pltpu.VMEM((ROW_BATCH, CHUNK, clp), jnp.float32),
+                pltpu.VMEM((ROW_BATCH, chunk, clp), jnp.float32),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
@@ -794,17 +820,18 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
 
     mxu_gather = gather == "mxu"
     # Dynamic gather window: only meaningful for the full-width mxu dot,
-    # and only when the padded width actually exceeds the window.
+    # only when the padded width actually exceeds the window, and only when
+    # the window can actually hold a chunk plus alignment slack.
     wcap = 0
-    if (mxu_gather and AGREE_DYNWIN > 0 and AGREE_DYNWIN % 128 == 0
-            and wp > AGREE_DYNWIN):
-        wcap = AGREE_DYNWIN
-    nc = wp // CHUNK
-    bases = (_chunk_window_bases(d32, w, wp, wcap) if wcap
+    if (mxu_gather and wcap_req > 0 and wcap_req % 128 == 0
+            and wp > wcap_req and wcap_req >= chunk + 128):
+        wcap = wcap_req
+    nc = wp // chunk
+    bases = (_chunk_window_bases(d32, w, wp, wcap, chunk) if wcap
              else jnp.full((hp, nc), -1, jnp.int32))
     kernel = functools.partial(
         _agree_kernel,
-        n=n, w=w, wp=wp, wcap=wcap,
+        n=n, w=w, wp=wp, wcap=wcap, chunk=chunk,
         threshold=threshold, minvar=minvar, xs=xs, in_mod=in_mod,
         mxu_gather=mxu_gather,
         interpret=interpret,

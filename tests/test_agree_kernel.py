@@ -297,13 +297,13 @@ def test_agree_kernel_window_u16_subpixel(rng, monkeypatch):
 
 
 def test_agree_gather_resolution():
-    """auto is variant-aware (measured): subpixel takes the full-width mxu
-    gather for 3n <= 128 then window then shuffle; the integer variant
-    takes window (G=8) throughout its lane budget."""
+    """auto is variant-aware (measured): both u8 variants take the
+    full-width mxu gather (with the auto dynamic window) for 3n <= 128,
+    then window, then shuffle; u16 prefers window throughout."""
     from libbicos_tpu.kernels.agree import _resolve_gather
 
     assert _resolve_gather(33, True)[0] == "mxu"
-    assert _resolve_gather(33, False) == ("window", 8)
+    assert _resolve_gather(33, False)[0] == "mxu"
     # u16 subpixel avoids the full-width mxu kernel entirely: its byte-split
     # gather scratch exceeds the Mosaic VMEM budget at production widths
     # (compile-time OOM, measured 2026-08-20).

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from libbicos_tpu import _oracle as oracle
 from libbicos_tpu.kernels import agree as kagree
 from libbicos_tpu.kernels.agree import (
-    CHUNK,
     INVALID_I32,
     _chunk_window_bases,
     _pad2,
@@ -59,10 +58,10 @@ def _wide_disp(h, w, rng):
     return d
 
 
-def _expect_mixed_bases(d, w, wcap):
-    d32 = _pad2(jnp.asarray(d, jnp.int32), 8, CHUNK, value=INVALID_I32)
+def _expect_mixed_bases(d, w, wcap, chunk):
+    d32 = _pad2(jnp.asarray(d, jnp.int32), 8, chunk, value=INVALID_I32)
     wp = d32.shape[1]
-    bases = np.asarray(_chunk_window_bases(d32, w, wp, wcap))
+    bases = np.asarray(_chunk_window_bases(d32, w, wp, wcap, chunk))
     assert (bases >= 0).any(), "no in-window chunk — test field is wrong"
     assert (bases < 0).any(), "no fallback chunk — test field is wrong"
     return bases
@@ -84,11 +83,11 @@ def test_chunk_window_bases_unit():
     """Pure-function contract: a chunk's base covers every valid matched
     column, is 128-aligned, stays inside the padded row, and misfit chunks
     get the -1 sentinel."""
-    w, wcap = 1408, 1024
+    w, wcap, chunk = 1408, 1024, 512
     rng = np.random.default_rng(7)
     d = _wide_disp(H, w, rng)
-    bases = _expect_mixed_bases(d, w, wcap)
-    d32 = np.asarray(_pad2(jnp.asarray(d, jnp.int32), 8, CHUNK,
+    bases = _expect_mixed_bases(d, w, wcap, chunk)
+    d32 = np.asarray(_pad2(jnp.asarray(d, jnp.int32), 8, chunk,
                            value=INVALID_I32))
     wp = d32.shape[1]
     col = np.arange(wp)
@@ -97,7 +96,7 @@ def test_chunk_window_bases_unit():
         keep = (d32[r] != INVALID_I32) & (col1 >= 0) & (col1 < w)
         for oc in range(bases.shape[1]):
             b = bases[r, oc]
-            sl = slice(oc * CHUNK, (oc + 1) * CHUNK)
+            sl = slice(oc * chunk, (oc + 1) * chunk)
             kept = keep[sl]
             c1 = np.clip(col1[sl], 0, w - 1)[kept]
             if b < 0:
@@ -107,19 +106,21 @@ def test_chunk_window_bases_unit():
                 assert c1.min() >= b and c1.max() <= b + wcap - 1
 
 
-@pytest.mark.parametrize("wcap,w", [(1024, 1408), (640, 1412)])
-def test_dynwin_subpixel_parity(rng, monkeypatch, wcap, w):
+@pytest.mark.parametrize(
+    "wcap,chunk,w", [(1024, 512, 1408), (640, 256, 1412)])
+def test_dynwin_subpixel_parity(rng, monkeypatch, wcap, chunk, w):
     """Dynamic-window subpixel agree at production width must be
     bit-identical to the oracle with BOTH in-window and fallback chunks
-    live (wcap=1024 is the production candidate; 640 is the tightest
-    window that still fits a 512-column chunk plus alignment slack)."""
+    live (256/640 is the auto default; 512/1024 is the legacy explicit
+    combination)."""
     monkeypatch.setattr(kagree, "AGREE_GATHER", "mxu")
     monkeypatch.setattr(kagree, "AGREE_DYNWIN", wcap)
+    monkeypatch.setattr(kagree, "CHUNK", chunk)
     from conftest import make_stack_pair
 
     s0, s1, _ = make_stack_pair(rng, 5, H, w)
     d = _wide_disp(H, w, rng)
-    _expect_mixed_bases(d, w, wcap)
+    _expect_mixed_bases(d, w, wcap, chunk)
     got_d, got_c = agree_pallas(d, s0, s1, 0.3, 0.5, None, interpret=True)
     want_d, want_c = oracle.agree_subpixel(
         d.copy(), s0, s1, 0.3, 0.5, None, np.uint8)
@@ -131,12 +132,15 @@ def test_dynwin_integer_minvar_parity(rng, monkeypatch):
     window live, plus a minimum-variance gate."""
     monkeypatch.setattr(kagree, "AGREE_GATHER", "mxu")
     monkeypatch.setattr(kagree, "AGREE_DYNWIN", 1024)
+    monkeypatch.setattr(kagree, "CHUNK", 512)
+    monkeypatch.setattr(kagree, "CHUNK", 512)
+    monkeypatch.setattr(kagree, "CHUNK", 512)
     from conftest import make_stack_pair
 
     w = 1416
     s0, s1, _ = make_stack_pair(rng, 5, H, w)
     d = _wide_disp(H, w, rng)
-    _expect_mixed_bases(d, w, 1024)
+    _expect_mixed_bases(d, w, 1024, 512)
     got_d, got_c = agree_pallas(d, s0, s1, 0.3, None, 10.0, interpret=True)
     want_d, want_c = oracle.agree(d.copy(), s0, s1, 0.3, 10.0)
     out = np.asarray(got_d)
@@ -159,7 +163,7 @@ def test_dynwin_u16_subpixel_parity(rng, monkeypatch):
     w = 1408
     s0, s1, _ = make_stack_pair(rng, 5, H, w, np.uint16)
     d = _wide_disp(H, w, rng)
-    _expect_mixed_bases(d, w, 1024)
+    _expect_mixed_bases(d, w, 1024, 512)
     got_d, got_c = agree_pallas(d, s0, s1, 0.3, 0.5, None, interpret=True)
     want_d, want_c = oracle.agree_subpixel(
         d.copy(), s0, s1, 0.3, 0.5, None, np.uint16)
@@ -178,7 +182,7 @@ def test_dynwin_i8_engine_parity(rng, monkeypatch):
     w = 1420
     s0, s1, _ = make_stack_pair(rng, 5, H, w)
     d = _wide_disp(H, w, rng)
-    _expect_mixed_bases(d, w, 1024)
+    _expect_mixed_bases(d, w, 1024, 512)
     got_d, got_c = agree_pallas(d, s0, s1, 0.3, 0.5, None, interpret=True)
     want_d, want_c = oracle.agree_subpixel(
         d.copy(), s0, s1, 0.3, 0.5, None, np.uint8)
