@@ -240,7 +240,7 @@ def main():
         # (n, batch*H, W) rows — the serving layout — so the device never
         # pays the ~GB-scale transposed input copies that capped the batch
         # at 4 (see pipeline.match_batched_folded).
-        batch = int(os.environ.get("BICOS_BENCH_BATCH", "4"))
+        batch = int(os.environ.get("BICOS_BENCH_BATCH", "8"))
         cfg = bicos.Config(nxcorr_threshold=0.9, min_variance=2.0,
                            mode=bicos.TransformMode.LIMITED)
         b0 = jnp.asarray(np.concatenate([s0] * batch, axis=1))
