@@ -105,29 +105,37 @@ def _spawn(mode, timeout_s, extra_env=None):
 
 
 def orchestrate():
-    """Budgeted driver entry: headline first, honest fallback second."""
+    """Budgeted driver entry: headline first, honest fallbacks after.
+
+    Every tier's timeout is clamped to the REMAINING budget (a tier only
+    runs with >50 s left) — unclamped per-tier floors could overrun a
+    small BICOS_BENCH_BUDGET and reproduce the very driver-timeout-with-
+    no-artifact failure this orchestrator exists to prevent.
+    """
     budget = float(os.environ.get("BICOS_BENCH_BUDGET", "560"))
     mode = os.environ.get("BICOS_BENCH_MODE", "headline")
     t0 = time.monotonic()
-    # Reserve enough of the budget for the fallback child's own backend
-    # init + (smaller) compile; the headline gets the rest. Explicit
+
+    def remaining():
+        return budget - (time.monotonic() - t0)
+
+    # Reserve part of the budget for the fallback tiers' own backend
+    # init + (smaller) compiles; the headline gets the rest. Explicit
     # non-headline modes get the whole budget and no fallback.
-    reserve = 200.0 if mode == "headline" else 0.0
-    line = _spawn(mode, max(60.0, budget - reserve))
-    if line is None and mode == "headline":
-        remaining = budget - (time.monotonic() - t0)
+    reserve = min(200.0, budget * 0.4) if mode == "headline" else 0.0
+    line = _spawn(mode, max(45.0, budget - reserve))
+    if line is None and mode == "headline" and remaining() > 50.0:
         print(f"bench: falling back to search mode "
-              f"({remaining:.0f}s left)", file=sys.stderr, flush=True)
-        line = _spawn("search", max(60.0, remaining - 70.0))
-    if line is None and mode == "headline":
+              f"({remaining():.0f}s left)", file=sys.stderr, flush=True)
+        line = _spawn("search", max(45.0, remaining() - 70.0))
+    if line is None and mode == "headline" and remaining() > 50.0:
         # Last tier: the XLA-backend headline. No Mosaic kernels, so the
         # compile is tens of seconds even fully cold; the runtime is the
         # honest (much slower) XLA number.
-        remaining = budget - (time.monotonic() - t0)
         print(f"bench: falling back to XLA backend "
-              f"({remaining:.0f}s left)", file=sys.stderr, flush=True)
+              f"({remaining():.0f}s left)", file=sys.stderr, flush=True)
         line = _spawn(
-            "headline", max(60.0, remaining - 5.0),
+            "headline", max(45.0, remaining() - 5.0),
             {"BICOS_BENCH_BACKEND": "xla", "BICOS_BENCH_REPS": "2"})
     if line is None:
         # Still emit the one-line contract so the driver records an

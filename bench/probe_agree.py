@@ -77,15 +77,18 @@ def main():
         times.append((time.perf_counter() - t0) * 1e3)
     med = float(np.median(times))
     print(f"times ms: {[f'{t:.1f}' for t in times]}", file=sys.stderr)
+    gather, _ = kagree._resolve_gather(
+        n, step is not None, dt == np.uint16)
+    chunk, wcap = kagree.resolve_chunk_wcap(gather, w)
     print(json.dumps({
         "probe": "agree_kernel",
-        "gather": kagree.AGREE_GATHER,
+        "gather": gather,
         "group": kagree.AGREE_GROUP,
         "engine": kagree.AGREE_ENGINE,
         "n": n, "h": h, "w": w,
         "step": step_s, "dtype": dt_s,
-        "dynwin": kagree.AGREE_DYNWIN,
-        "chunk": kagree.CHUNK,
+        "dynwin": wcap,  # RESOLVED window (0 = full-width dots)
+        "chunk": chunk,  # RESOLVED chunk
         "ms": round(med, 2),
     }))
 

@@ -13,9 +13,16 @@ measured ~1.8 s at 33x2200x3300. Here the whole stereo row pair lives in
 VMEM, the matched series are gathered on-chip, and the x sweep runs out of
 registers.
 
-Gather strategies (BICOS_AGREE_GATHER), fastest first:
+Gather strategies (BICOS_AGREE_GATHER):
 
-* ``window`` (default via ``auto``): the gather is restructured as a
+* ``mxu`` (u8 default via ``auto``): one full-width one-hot contraction
+  ``(WP, CHUNK) x (128, WP)`` per chunk (K = padded image width; the 3n
+  series sections ride the 128 output lanes), shrunk ~5x in practice by
+  the auto dynamic window (``resolve_chunk_wcap``: CHUNK=256 with a
+  640-column window; per-chunk bases from the disparity map, in-kernel
+  full-width fallback keeps bit-exactness). Fastest measured for both u8
+  variants (subpixel 72.2 ms, integer 56.9 at n=33 2200x3300).
+* ``window`` (u16 and 42 < n <= 192 default): the gather is restructured as a
   *grouped* one-hot contraction. The wrapper pre-builds a windowed series
   matrix ``s1w[h, g, t*lanes + l] = s1[t, h, G*g + l]`` whose row ``g``
   holds, for every shot ``t``, the ``lanes``-wide column window starting at
@@ -27,10 +34,6 @@ Gather strategies (BICOS_AGREE_GATHER), fastest first:
   (subpixel) / ~2.6x (integer) at n=33, G=16. The exact column lands with an
   in-vreg ``take_along_axis`` per 128-lane slice (window lanes never cross a
   slice because ``lanes | 128``).
-* ``mxu``: the original full-width one-hot contraction — one
-  ``(WP, CHUNK) x (128, WP)`` dot per chunk (K = padded image width; the 3n
-  series sections ride the 128 output lanes). Fallback when the windowed
-  layout exceeds its lane budget.
 * ``shuffle``: hierarchical ``tpu.dynamic_gather`` per 128-lane block
   (VPU). Mandatory for n > 42 where 3n no longer fits the mxu path's 128
   lanes; measured 632 ms vs the mxu path's 68.7 ms at n=33, so it is
@@ -729,6 +732,34 @@ def _window_series(s1, gsz: int, subpixel: bool, lp: int):
     return out
 
 
+def resolve_chunk_wcap(gather: str, w: int):
+    """(chunk, wcap) for a gather strategy at image width ``w``.
+
+    Measured bracket (docs/TUNING.md): the mxu gather pairs CHUNK=256 with
+    a 640-column dynamic window (72.2 ms subpixel / 56.9 integer and a 3x
+    smaller program vs 88 ms full-width at 512); window/shuffle paths and
+    any mxu configuration where the window cannot engage (narrow images,
+    window smaller than a chunk plus its 128-lane alignment slack) keep
+    the measured full-width optimum of 512. Explicit env values win.
+    Single source of truth — the probe logs this same resolution.
+    """
+    def wp_of(c):
+        return -(-w // c) * c
+
+    if gather == "mxu":
+        if AGREE_DYNWIN is None:  # auto
+            c = CHUNK or 256
+            wcap = 640 if c == 256 else 1024
+        else:
+            c = CHUNK or (256 if AGREE_DYNWIN else 512)
+            wcap = AGREE_DYNWIN
+        if (wcap > 0 and wcap % 128 == 0 and wcap >= c + 128
+                and wp_of(c) > wcap):
+            return c, wcap
+    return (CHUNK or 512), 0
+
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("threshold", "minvar", "xs", "interpret"),
@@ -738,18 +769,7 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
     u16_in = stack0.dtype == jnp.uint16
     in_mod = 0xFFFF if u16_in else 0xFF
     gather, group = _resolve_gather(n, bool(xs), u16_in)
-
-    # Chunk / dynamic-window resolution (measured bracket, docs/TUNING.md):
-    # the mxu gather pairs CHUNK=256 with a 640-column window (72.2 ms and
-    # a 3x smaller program vs 88 ms full-width at 512); the window/shuffle
-    # paths keep the measured 512 optimum. Explicit env values win.
-    wcap_req = 0
-    if gather == "mxu":
-        if AGREE_DYNWIN is None:  # auto
-            wcap_req = 640 if (CHUNK or 256) == 256 else 1024
-        else:
-            wcap_req = AGREE_DYNWIN
-    chunk = CHUNK or (256 if (gather == "mxu" and wcap_req) else 512)
+    chunk, wcap = resolve_chunk_wcap(gather, w)
 
     d32 = _pad2(disp.astype(jnp.int32), ROW_BATCH, chunk, value=INVALID_I32)
     s0 = _pad2(stack0, ROW_BATCH, chunk)
@@ -819,13 +839,6 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
         return out[:h, :w], corr[:h, :w]
 
     mxu_gather = gather == "mxu"
-    # Dynamic gather window: only meaningful for the full-width mxu dot,
-    # only when the padded width actually exceeds the window, and only when
-    # the window can actually hold a chunk plus alignment slack.
-    wcap = 0
-    if (mxu_gather and wcap_req > 0 and wcap_req % 128 == 0
-            and wp > wcap_req and wcap_req >= chunk + 128):
-        wcap = wcap_req
     nc = wp // chunk
     bases = (_chunk_window_bases(d32, w, wp, wcap, chunk) if wcap
              else jnp.full((hp, nc), -1, jnp.int32))

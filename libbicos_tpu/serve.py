@@ -41,7 +41,8 @@ Endpoints:
 
 * ``POST /match`` — body: npz with ``stack0``, ``stack1`` ``(n, H, W)``
   arrays — or ``(batch, n, H, W)`` for the batched throughput layout
-  (``match_batched`` / ``match_batched_sharded``: batch folded into the
+  (``match_batched_folded`` / ``match_batched_sharded``: batch folded on
+  the host at staging time into the
   row axis, one launch per request); optional query params override the
   engine's default config (``threshold``, ``step``, ``variance``,
   ``limited``, ``lr_maxdiff``, ``no_dupes``, ``corrmap``). Response: npz

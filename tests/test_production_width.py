@@ -133,8 +133,6 @@ def test_dynwin_integer_minvar_parity(rng, monkeypatch):
     monkeypatch.setattr(kagree, "AGREE_GATHER", "mxu")
     monkeypatch.setattr(kagree, "AGREE_DYNWIN", 1024)
     monkeypatch.setattr(kagree, "CHUNK", 512)
-    monkeypatch.setattr(kagree, "CHUNK", 512)
-    monkeypatch.setattr(kagree, "CHUNK", 512)
     from conftest import make_stack_pair
 
     w = 1416
@@ -158,6 +156,7 @@ def test_dynwin_u16_subpixel_parity(rng, monkeypatch):
     with the dynamic window live."""
     monkeypatch.setattr(kagree, "AGREE_GATHER", "mxu")
     monkeypatch.setattr(kagree, "AGREE_DYNWIN", 1024)
+    monkeypatch.setattr(kagree, "CHUNK", 512)
     from conftest import make_stack_pair
 
     w = 1408
@@ -176,6 +175,7 @@ def test_dynwin_i8_engine_parity(rng, monkeypatch):
     (+128 correction with no selected byte), masked by ``keep``."""
     monkeypatch.setattr(kagree, "AGREE_GATHER", "mxu")
     monkeypatch.setattr(kagree, "AGREE_DYNWIN", 1024)
+    monkeypatch.setattr(kagree, "CHUNK", 512)
     monkeypatch.setattr(kagree, "AGREE_ENGINE", "i8")
     from conftest import make_stack_pair
 
