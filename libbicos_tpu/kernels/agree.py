@@ -171,6 +171,15 @@ def _resolve_gather(n: int, subpixel: bool, u16: bool = False):
     # auto (see the measurements above)
     if u16 and _window_ok(n, subpixel, group):
         return "window", group
+    # Small-n integer: the window dot fits ONE 128-lane slice (n*G <= 128)
+    # and is strictly smaller than the dynamic-window mxu dot there —
+    # integration n=8: 128.7 ms (window) vs 153.7 (mxu); n=12: 128.6 vs
+    # 144.7 (2026-08-20). The mxu dot's cost is n-INDEPENDENT (128 output
+    # lanes regardless of n), so it only wins once the window needs
+    # multiple slices (n=33: 56.9 vs 62.9).
+    if (not subpixel and n * group <= 128
+            and _window_ok(n, subpixel, group)):
+        return "window", group
     if not u16 and 3 * n <= 128:
         return "mxu", group
     if _window_ok(n, subpixel, group):

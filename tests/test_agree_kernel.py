@@ -304,6 +304,11 @@ def test_agree_gather_resolution():
 
     assert _resolve_gather(33, True)[0] == "mxu"
     assert _resolve_gather(33, False)[0] == "mxu"
+    # small-n integer: the one-slice window dot beats the n-independent
+    # mxu dot (integration n=8/12 measurements, 2026-08-20)
+    assert _resolve_gather(16, False)[0] == "window"
+    assert _resolve_gather(8, False)[0] == "window"
+    assert _resolve_gather(16, True)[0] == "mxu"  # subpixel stays mxu
     # u16 subpixel avoids the full-width mxu kernel entirely: its byte-split
     # gather scratch exceeds the Mosaic VMEM budget at production widths
     # (compile-time OOM, measured 2026-08-20).
