@@ -171,14 +171,14 @@ def _resolve_gather(n: int, subpixel: bool, u16: bool = False):
     # auto (see the measurements above)
     if u16 and _window_ok(n, subpixel, group):
         return "window", group
-    # Small-n integer: the window dot fits ONE 128-lane slice (n*G <= 128)
-    # and is strictly smaller than the dynamic-window mxu dot there —
-    # integration n=8: 128.7 ms (window) vs 153.7 (mxu); n=12: 128.6 vs
-    # 144.7 (2026-08-20). The mxu dot's cost is n-INDEPENDENT (128 output
-    # lanes regardless of n), so it only wins once the window needs
-    # multiple slices (n=33: 56.9 vs 62.9).
-    if (not subpixel and n * group <= 128
-            and _window_ok(n, subpixel, group)):
+    # Small-n: when the window dot fits ONE 128-lane slice
+    # (n * lanes <= 128) it is strictly smaller than the n-INDEPENDENT
+    # dynamic-window mxu dot (128 output lanes regardless of n) — measured
+    # integer n=8: 42.4 ms (window) vs ~56 (mxu); n=16: 41.7; subpixel
+    # n=8: 51.7 vs 60.1 (2026-08-20). mxu wins once the window needs
+    # multiple slices (subpixel n=33: 72.2 vs 103; integer 56.9 vs 62.9).
+    lanes = (2 * group) if subpixel else group
+    if n * lanes <= 128 and _window_ok(n, subpixel, group):
         return "window", group
     if not u16 and 3 * n <= 128:
         return "mxu", group

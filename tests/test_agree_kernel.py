@@ -308,7 +308,8 @@ def test_agree_gather_resolution():
     # mxu dot (integration n=8/12 measurements, 2026-08-20)
     assert _resolve_gather(16, False)[0] == "window"
     assert _resolve_gather(8, False)[0] == "window"
-    assert _resolve_gather(16, True)[0] == "mxu"  # subpixel stays mxu
+    assert _resolve_gather(8, True)[0] == "window"  # 8*16 lanes = 1 slice
+    assert _resolve_gather(16, True)[0] == "mxu"  # 2 slices -> mxu
     # u16 subpixel avoids the full-width mxu kernel entirely: its byte-split
     # gather scratch exceeds the Mosaic VMEM budget at production widths
     # (compile-time OOM, measured 2026-08-20).
