@@ -57,9 +57,12 @@ def stage_timings(stack0, stack1, cfg=None, *, backend: str = "auto") -> Dict:
     # Timing protocol: perturb the stack between runs (some runtimes dedupe
     # identical executions) and fetch a scalar to force completion.
     def timed(fn, pert):
-        jax.block_until_ready(fn(s0))  # warm / compile
+        w = jax.tree_util.tree_leaves(fn(s0))[0]  # warm / compile; the
+        _ = np.asarray(w[(0,) * w.ndim])  # scalar fetch forces lazy runtimes
+        xp = s0 ^ np.uint8(pert).astype(s0.dtype)  # perturb OUTSIDE the
+        _ = np.asarray(xp[(0,) * xp.ndim])  # timed region (dedupe guard)
         t0 = time.perf_counter()
-        out = fn(s0 ^ np.uint8(pert).astype(s0.dtype))
+        out = fn(xp)
         leaf = jax.tree_util.tree_leaves(out)[0]
         _ = np.asarray(leaf[(0,) * leaf.ndim])
         return (time.perf_counter() - t0) * 1e3

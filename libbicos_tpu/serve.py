@@ -316,9 +316,10 @@ def main(argv=None):
     p.add_argument("--devices", type=int, default=1,
                    help="H-band the pipeline over this many devices")
     p.add_argument("--warmup", action="append", default=[],
-                   metavar="NxHxW[:u8|u16]",
+                   metavar="[Bx]NxHxW[:u8|u16]",
                    help="precompile these stack shapes before serving "
-                        "(repeatable)")
+                        "(repeatable; 4-component shapes warm the batched "
+                        "throughput layout)")
     args = p.parse_args(argv)
 
     variant = (Consistency(args.lr_maxdiff, args.no_dupes)
