@@ -98,40 +98,50 @@ class Engine:
         self._lock = threading.Lock()
         self._compiled: Dict[tuple, bool] = {}
 
-    def _run(self, s0, s1, cfg: Config, corrmap: bool):
+    @staticmethod
+    def _fold(s: np.ndarray):
+        # Fold on the HOST at staging time: the device-side transpose of
+        # (batch, n, H, W) is GBs of HBM at production batch sizes
+        # (pipeline.match_batched_folded). At batch=8 the two folds are
+        # GB-scale strided copies — comparable to the device run itself —
+        # so staging runs OUTSIDE the device lock (see ``match``).
+        b, n, h, w = s.shape
+        return np.ascontiguousarray(
+            np.moveaxis(np.asarray(s), 0, 1)).reshape(n, b * h, w)
+
+    def _run(self, s0, s1, cfg: Config, corrmap: bool, batch: int):
         from . import match, match_batched_folded
         from .sharding import match_batched_sharded, match_sharded
 
-        batched = s0.ndim == 4  # (batch, n, H, W): throughput layout
         if self.mesh is not None:
-            fn = match_batched_sharded if batched else match_sharded
+            fn = match_batched_sharded if batch else match_sharded
             return fn(
                 s0, s1, cfg, mesh=self.mesh, corrmap=corrmap,
                 backend=self.backend,
             )
-        if batched:
-            # Fold on the HOST at staging time: the device-side transpose of
-            # (batch, n, H, W) is GBs of HBM at production batch sizes
-            # (pipeline.match_batched_folded).
-            b, n, h, w = s0.shape
-            flat0 = np.ascontiguousarray(
-                np.moveaxis(np.asarray(s0), 0, 1)).reshape(n, b * h, w)
-            flat1 = np.ascontiguousarray(
-                np.moveaxis(np.asarray(s1), 0, 1)).reshape(n, b * h, w)
+        if batch:
             return match_batched_folded(
-                flat0, flat1, b, cfg, corrmap=corrmap, backend=self.backend)
+                s0, s1, batch, cfg, corrmap=corrmap, backend=self.backend)
         return match(s0, s1, cfg, corrmap=corrmap, backend=self.backend)
 
     def match(self, s0: np.ndarray, s1: np.ndarray,
               cfg: Optional[Config] = None, *, corrmap: bool = False):
         """Run a match; first call per specialization compiles (serialized
-        under the engine lock), later calls reuse jit caches."""
+        under the engine lock), later calls reuse jit caches.
+
+        Batched (4-d) requests are folded into the row axis on the host
+        BEFORE taking the device lock, so while one request runs on the
+        device, concurrent request threads overlap their own staging with
+        it instead of queueing the whole fold+run behind the lock."""
         import jax
 
         cfg = self.cfg if cfg is None else cfg
         key = (s0.shape, str(s0.dtype), _cfg_key(cfg), corrmap)
+        batch = s0.shape[0] if s0.ndim == 4 else 0
+        if batch and self.mesh is None:
+            s0, s1 = self._fold(s0), self._fold(s1)
         with self._lock:
-            out = self._run(s0, s1, cfg, corrmap)
+            out = self._run(s0, s1, cfg, corrmap, batch)
             out = jax.block_until_ready(out)
             self._compiled[key] = True
         if corrmap:

@@ -272,6 +272,34 @@ def test_match_batched_over_http(server, rng):
         np.testing.assert_array_equal(out[k], want)
 
 
+def test_concurrent_batched_requests(server, rng):
+    """Staging now folds OUTSIDE the device lock (serve.Engine.match):
+    concurrent batched posts must still produce per-pair-correct,
+    batch-shaped results (the lock only serializes the device step)."""
+    base, _ = server
+    s0, s1 = _stacks(rng)
+    cfg = bicos.Config(nxcorr_threshold=0.5, min_variance=1.0)
+    results = {}
+
+    def one(k):
+        b0 = np.stack([s0 ^ np.uint8(k), s0 ^ np.uint8(k + 16)])
+        b1 = np.stack([s1, s1])
+        status, body = _post(base + "/match", _npz(stack0=b0, stack1=b1))
+        results[k] = (status, np.load(io.BytesIO(body))["disparity"], b0, b1)
+
+    threads = [threading.Thread(target=one, args=(k,)) for k in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert sorted(results) == [0, 1, 2]
+    for k, (status, out, b0, b1) in results.items():
+        assert status == 200
+        for j in range(2):
+            want = np.asarray(bicos.match(b0[j], b1[j], cfg, backend="xla"))
+            np.testing.assert_array_equal(out[j], want)
+
+
 def test_warmup_batched_shape(server):
     base, engine = server
     before = engine.compiled_count
