@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Device-only headline latency via chained in-program executions.
+
+The per-call headline numbers (bench.py, probe_shard_latency.py) include a
+fixed per-call cost that the shard-latency curve measures at ~29-30 ms —
+dominated by the dev tunnel's dispatch+fetch RPC, which a local host does
+not pay (the reference's bench loop is in-process on local hardware and
+pays microseconds). This probe isolates pure device time: one program runs
+the FULL headline pipeline R times in a `fori_loop` (R is a runtime
+scalar, so R=1 and R=9 execute the SAME compiled program), each iteration
+on a freshly perturbed left stack (the runtime dedupes identical
+executions; XLA cannot hoist the pipeline either — the stacks enter
+opaque Pallas kernels whose inputs change every iteration). Then
+
+    device_ms_per_iter = (t(R=9) - t(R=1)) / 8
+
+subtracts every fixed cost (RPC, dispatch, cache lookups) by
+construction.
+
+Env: BICOS_PROBE_H (2200), BICOS_PROBE_N/W, BICOS_PROBE_REPS (5),
+BICOS_PROBE_R1/R2 (1/9). Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    n = int(os.environ.get("BICOS_PROBE_N", "33"))
+    h = int(os.environ.get("BICOS_PROBE_H", "2200"))
+    w = int(os.environ.get("BICOS_PROBE_W", "3300"))
+    reps = int(os.environ.get("BICOS_PROBE_REPS", "5"))
+    r1 = int(os.environ.get("BICOS_PROBE_R1", "1"))
+    r2 = int(os.environ.get("BICOS_PROBE_R2", "9"))
+
+    import jax
+    import jax.numpy as jnp
+
+    import libbicos_tpu as bicos
+    from libbicos_tpu.io import synthetic_stack_pair
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} platform={dev.platform} H={h}", file=sys.stderr)
+
+    cfg = bicos.Config(
+        nxcorr_threshold=0.96,
+        subpixel_step=0.1,
+        min_variance=2.0,
+        mode=bicos.TransformMode.LIMITED,
+    )
+
+    s0, s1, _ = synthetic_stack_pair(n, h, w, dtype=np.uint8)
+    d0 = jnp.asarray(s0)
+    d1 = jnp.asarray(s1)
+    jax.block_until_ready((d0, d1))
+
+    @jax.jit
+    def chained(a, b, r):
+        def body(k, acc):
+            ax = a ^ (k & 0xFF).astype(jnp.uint8)
+            out = bicos.match(ax, b, cfg)
+            return acc + jnp.nan_to_num(out[0, :128]).sum()
+
+        return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
+
+    t0 = time.perf_counter()
+    _ = float(chained(d0, d1, r1))
+    print(f"compile+first (R={r1}): {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    perts = {}
+
+    def pert(k):
+        if k not in perts:
+            # base perturbation is OUTSIDE the loop's k range (k < r2)
+            perts[k] = jax.block_until_ready(d0 ^ np.uint8(128 + k))
+        return perts[k]
+
+    def run(r):
+        # untimed warm call on a perturbed base (lazy-runtime setup)
+        _ = float(chained(pert(reps), d1, r))
+        times = []
+        for k in range(1, reps + 1):
+            t0 = time.perf_counter()
+            _ = float(chained(pert(k), d1, r))
+            times.append((time.perf_counter() - t0) * 1e3)
+        print(f"R={r} times ms: {[f'{t:.1f}' for t in times]}",
+              file=sys.stderr, flush=True)
+        return float(np.median(times))
+
+    t_r1 = run(r1)
+    t_r2 = run(r2)
+    per_iter = (t_r2 - t_r1) / (r2 - r1)
+    overhead = t_r1 - per_iter * r1
+    print(json.dumps({
+        "metric": f"e2e_headline_device_only_H{h}_n{n}_w{w}_ms",
+        "value": round(per_iter, 2),
+        "fixed_call_overhead_ms": round(overhead, 2),
+        "t_r1_ms": round(t_r1, 2), "t_r2_ms": round(t_r2, 2),
+        "r1": r1, "r2": r2,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
