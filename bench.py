@@ -123,7 +123,11 @@ def orchestrate():
     # init + (smaller) compiles; the headline gets the rest. Explicit
     # non-headline modes get the whole budget and no fallback.
     reserve = min(200.0, budget * 0.4) if mode == "headline" else 0.0
-    line = _spawn(mode, max(45.0, budget - reserve))
+    # Clamp tier 1 to the budget itself: a 45 s floor alone would overrun
+    # a BICOS_BENCH_BUDGET smaller than 45 s (kill at t=45 > budget) —
+    # the no-artifact-within-budget failure this orchestrator prevents.
+    line = _spawn(mode, min(max(45.0, budget - reserve),
+                            max(10.0, budget - 2.0)))
     if line is None and mode == "headline" and remaining() > 50.0:
         print(f"bench: falling back to search mode "
               f"({remaining():.0f}s left)", file=sys.stderr, flush=True)

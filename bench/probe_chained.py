@@ -83,8 +83,11 @@ def main():
         return perts[k]
 
     def run(r):
-        # untimed warm call on a perturbed base (lazy-runtime setup)
-        _ = float(chained(pert(reps), d1, r))
+        # untimed warm call on a perturbed base OUTSIDE the timed 1..reps
+        # range (lazy-runtime setup): warming with pert(reps) would be
+        # byte-identical to the k=reps timed call and the runtime dedupes
+        # identical executions — the last rep would measure a cache hit.
+        _ = float(chained(pert(reps + 1), d1, r))
         times = []
         for k in range(1, reps + 1):
             t0 = time.perf_counter()

@@ -75,8 +75,10 @@ def main():
 
         for k in range(1, reps + 1):
             pert(k)
-        # Untimed warm rep on a perturbed buffer (lazy-runtime setup).
-        o = bicos.match(pert(reps), d1, cfg)
+        # Untimed warm rep on a perturbed buffer OUTSIDE the timed 1..reps
+        # range (the runtime dedupes identical executions; warming with
+        # pert(reps) would turn the last timed rep into a cache hit).
+        o = bicos.match(pert(reps + 1), d1, cfg)
         _ = float(np.asarray(o[0, :8]).sum())
         times = []
         for k in range(1, reps + 1):

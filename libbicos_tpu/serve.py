@@ -138,6 +138,16 @@ class Engine:
         cfg = self.cfg if cfg is None else cfg
         key = (s0.shape, str(s0.dtype), _cfg_key(cfg), corrmap)
         batch = s0.shape[0] if s0.ndim == 4 else 0
+        if batch:
+            # Validate the 4-d pair BEFORE folding: after the fold a
+            # coincidental batch*H product match (e.g. (2,n,8,W) vs
+            # (4,n,4,W)) would pass match_batched_folded's flat checks and
+            # silently pair rows of different images (_fold_batch's
+            # contract, pipeline.py).
+            if s1.ndim != 4 or s0.shape != s1.shape:
+                raise ValueError(
+                    f"batched stacks must have identical (batch, n, H, W) "
+                    f"shapes, got {s0.shape} vs {s1.shape}")
         if batch and self.mesh is None:
             s0, s1 = self._fold(s0), self._fold(s1)
         with self._lock:

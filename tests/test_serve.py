@@ -133,6 +133,25 @@ def test_bad_requests(server, rng):
     assert status == 404
 
 
+def test_batched_shape_mismatch_rejected(server, rng):
+    """Mismatched 4-d pairs whose batch*H products coincide must be a 400:
+    the host-side fold runs BEFORE match_batched_folded's flat checks,
+    which a (2,n,8,W)-vs-(4,n,4,W) pair would pass — silently pairing rows
+    of different images (Engine.match validates pre-fold)."""
+    base, _ = server
+    s0, s1 = _stacks(rng)  # (4, 8, 24)
+    b0 = np.stack([s0, s0])                      # (2, 4, 8, 24)
+    b1 = np.stack([s1[:, :4], s1[:, 4:],
+                   s1[:, :4] ^ 1, s1[:, 4:] ^ 1])  # (4, 4, 4, 24)
+    assert b0.size == b1.size
+    status, body = _post(base + "/match", _npz(stack0=b0, stack1=b1))
+    assert status == 400
+    assert b"identical" in body
+    # 4-d left with 3-d right is a mismatch too, not a silent broadcast.
+    status, _ = _post(base + "/match", _npz(stack0=b0, stack1=s1))
+    assert status == 400
+
+
 def test_warmup_endpoint(server):
     base, engine = server
     before = engine.compiled_count
