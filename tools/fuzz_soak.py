@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Long-soak differential fuzzer (CPU): oracle vs XLA vs Pallas-interpret
+vs sharded paths.
+
+The CI fuzz (tests/test_pipeline.py::test_fuzz_random_configs*) runs a
+handful of seeded trials so the suite stays fast; this soak runs the same
+differential protocol open-endedly with a fresh seed per invocation and a
+wider draw space (bigger shapes, uneven shard heights, ragged W bands) to
+hunt rare divergences. Any failure prints a standalone repro line and the
+full context, then continues (set BICOS_FUZZ_FAILFAST=1 to stop).
+
+Usage: python tools/fuzz_soak.py [--trials N] [--seed S] [--modes m1,m2]
+Modes: xla (oracle vs XLA), interp (oracle vs pallas_interpret),
+shard (single-chip XLA vs match_sharded/match_sharded_w on an 8-device
+virtual mesh). Default: all.
+"""
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import libbicos_tpu as bicos  # noqa: E402
+from libbicos_tpu import _oracle as oracle  # noqa: E402
+
+
+def draw_cfg(fz, *, small: bool):
+    mode = (bicos.TransformMode.FULL if fz.integers(2)
+            else bicos.TransformMode.LIMITED)
+    n_hi = (8 if small else 10) if mode == bicos.TransformMode.FULL else (
+        12 if small else 20)
+    n = int(fz.integers(3, n_hi))
+    threshold = (None if fz.integers(3) == 0
+                 else float(fz.uniform(0.1, 0.95)))
+    step = (float(fz.choice([0.5, 0.25, 0.2, 0.1]))
+            if threshold is not None and fz.integers(2) else None)
+    minvar = (float(fz.uniform(0.0, 3.0))
+              if threshold is not None and fz.integers(2) else None)
+    if fz.integers(2):
+        variant = bicos.Consistency(max_lr_diff=int(fz.integers(1, 4)),
+                                    no_dupes=bool(fz.integers(2)))
+    else:
+        variant = bicos.NoDuplicates()
+    cfg = bicos.Config(nxcorr_threshold=threshold, subpixel_step=step,
+                       min_variance=minvar, mode=mode, variant=variant)
+    return cfg, n
+
+
+def make_pair(fz, n, h, w, dtype):
+    hi = int(np.iinfo(dtype).max) + 1
+    if fz.integers(3):
+        # Warped-pattern pair (structured, recoverable disparities).
+        from libbicos_tpu.io import synthetic_stack_pair
+        s0, s1, _ = synthetic_stack_pair(
+            n, h, w, dtype=dtype, seed=int(fz.integers(2**31)))
+        return s0, s1
+    # Pure-random pair (maximal tie/ambiguity pressure).
+    s0 = fz.integers(0, hi, size=(n, h, w), dtype=dtype)
+    s1 = fz.integers(0, hi, size=(n, h, w), dtype=dtype)
+    return s0, s1
+
+
+def cmp_disp(got_d, want_d, step, ctx):
+    got_d, want_d = np.asarray(got_d), np.asarray(want_d)
+    if want_d.dtype.kind == "f" or got_d.dtype.kind == "f":
+        got_d = got_d.astype(np.float32)
+        want_d = want_d.astype(np.float32)
+        inv_g, inv_w = np.isnan(got_d), np.isnan(want_d)
+        np.testing.assert_array_equal(inv_g, inv_w, ctx)
+        if step is None:
+            np.testing.assert_array_equal(got_d[~inv_g], want_d[~inv_w], ctx)
+        else:
+            np.testing.assert_allclose(
+                got_d[~inv_g], want_d[~inv_w], atol=1e-5, err_msg=ctx)
+    else:
+        np.testing.assert_array_equal(got_d, want_d, ctx)
+
+
+def run_trial(fz, mode_name):
+    small = mode_name == "interp"
+    cfg, n = draw_cfg(fz, small=small)
+    dtype = np.uint16 if fz.integers(4) == 0 else np.uint8
+    if mode_name == "shard":
+        # Uneven/ragged sizes: shard paths pad H to the mesh and ring
+        # ragged W bands — the edge logic under test.
+        h = int(fz.integers(3, 25))
+        w = int(fz.integers(10, 70))
+    elif mode_name == "interp":
+        h = int(fz.integers(3, 7))
+        w = int(fz.integers(10, 22))
+    else:
+        h = int(fz.integers(3, 13))
+        w = int(fz.integers(10, 42))
+    s0, s1 = make_pair(fz, n, h, w, dtype)
+    ctx = (f"mode={mode_name} cfg={cfg} n={n} {h}x{w} {dtype.__name__}")
+
+    step = cfg.subpixel_step
+    if mode_name in ("xla", "interp"):
+        backend = "xla" if mode_name == "xla" else "pallas_interpret"
+        want_d, want_c = oracle.match(s0, s1, cfg)
+        if cfg.nxcorr_threshold is None:
+            got_d = bicos.match(s0, s1, cfg, backend=backend)
+            cmp_disp(got_d, want_d, None, ctx)
+            return ctx
+        got_d, got_c = bicos.match(s0, s1, cfg, corrmap=True, backend=backend)
+        np.testing.assert_allclose(
+            np.asarray(got_c), want_c, rtol=3e-5, atol=3e-5,
+            equal_nan=True, err_msg=ctx)
+        got_d, want_dn = np.asarray(got_d), np.asarray(want_d)
+        if step is None:
+            cmp_disp(got_d, want_dn, None, ctx)
+        else:
+            # fma-vs-oracle rounding can flip sweep winners near ties:
+            # validity must broadly agree and values within one step.
+            assert (np.isnan(got_d) == np.isnan(want_dn)).mean() > 0.97, ctx
+            both = ~(np.isnan(got_d) | np.isnan(want_dn))
+            np.testing.assert_allclose(
+                got_d[both], want_dn[both], atol=step + 1e-6, err_msg=ctx)
+        return ctx
+
+    # shard: single-chip XLA is the reference; sharded paths must be EXACT.
+    from libbicos_tpu.sharding import make_mesh, match_sharded, match_sharded_w
+
+    mesh = make_mesh(int(fz.choice([2, 4, 8])))
+    ref = bicos.match(s0, s1, cfg, backend="xla")
+    got_h = match_sharded(s0, s1, cfg, mesh=mesh, backend="xla")
+    cmp_disp(got_h, ref, None, ctx + " [H-band]")
+    got_w = match_sharded_w(s0, s1, cfg, mesh=mesh, backend="xla")
+    cmp_disp(got_w, ref, None, ctx + " [W-band]")
+    return ctx + f" mesh={len(mesh.devices.flat)}"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=0,
+                    help="0 = run until killed")
+    ap.add_argument("--seed", type=int, default=int(time.time()))
+    ap.add_argument("--modes", default="xla,interp,shard")
+    args = ap.parse_args()
+    modes = args.modes.split(",")
+    fz = np.random.default_rng(args.seed)
+    print(f"fuzz soak: seed={args.seed} modes={modes}", flush=True)
+    failures = 0
+    t = 0
+    t0 = time.time()
+    while args.trials == 0 or t < args.trials:
+        mode_name = modes[t % len(modes)]
+        try:
+            ctx = run_trial(fz, mode_name)
+            if t % 10 == 0:
+                print(f"[{t}] ok ({time.time() - t0:.0f}s) {ctx}",
+                      flush=True)
+        except AssertionError:
+            failures += 1
+            print(f"[{t}] FAILURE (seed={args.seed}):", flush=True)
+            traceback.print_exc()
+            if os.environ.get("BICOS_FUZZ_FAILFAST"):
+                sys.exit(1)
+        t += 1
+    print(f"done: {t} trials, {failures} failures, "
+          f"{time.time() - t0:.0f}s", flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
