@@ -18,7 +18,11 @@ subtracts every fixed cost (RPC, dispatch, cache lookups) by
 construction.
 
 Env: BICOS_PROBE_H (2200), BICOS_PROBE_N/W, BICOS_PROBE_REPS (5),
-BICOS_PROBE_R1/R2 (1/9). Prints one JSON line.
+BICOS_PROBE_R1/R2 (1/9), BICOS_PROBE_STAGE (e2e | search | agree —
+stage-only chains give the device-only STAGE split: the per-call stage
+numbers in BASELINE.md each absorb a different share of the exposed RPC
+intercept, which is why they do not sum to the per-call E2E).
+Prints one JSON line.
 """
 
 import json
@@ -60,12 +64,135 @@ def main():
     d1 = jnp.asarray(s1)
     jax.block_until_ready((d0, d1))
 
+    stage = os.environ.get("BICOS_PROBE_STAGE", "e2e")
+    if stage == "search":
+        from libbicos_tpu import search as S
+
+        bk = S.resolve_backend("auto")
+
+        def step_fn(ax, b):
+            disp = S.search_stack(ax, b, cfg.mode, bicos.NoDuplicates(),
+                                  backend=bk)
+            return jnp.where(
+                disp == -32768, 0, disp)[0, :128].astype(jnp.float32).sum()
+    elif stage == "agree":
+        from libbicos_tpu.kernels.agree import agree_pallas
+
+        # Fixed disparity input (the real one for this pair), perturbed
+        # series: the gather windows/bases stay production-shaped while
+        # every iteration's execution differs.
+        from libbicos_tpu import search as S
+
+        disp_fixed = jax.block_until_ready(S.search_stack(
+            d0, d1, cfg.mode, bicos.NoDuplicates(),
+            backend=S.resolve_backend("auto")))
+
+        def step_fn(ax, b):
+            out, _ = agree_pallas(disp_fixed, ax, b, 0.96, 0.1, 66.0)
+            return jnp.nan_to_num(out[0, :128]).sum()
+    elif stage == "bases":
+        # Just the disp-dependent pre-kernel glue of the agree wrapper:
+        # int16->i32, pad, per-chunk window-base computation. Isolates the
+        # compose_fixed-vs-e2e gap's prime suspect.
+        from libbicos_tpu import search as S
+        from libbicos_tpu.kernels import agree as KA
+
+        bk = S.resolve_backend("auto")
+        disp_fixed = jax.block_until_ready(
+            S.search_stack(d0, d1, cfg.mode, bicos.NoDuplicates(),
+                           backend=bk))
+        chunk, wcap = KA.resolve_chunk_wcap("mxu", w)
+
+        def step_fn(ax, b):
+            dd = disp_fixed ^ ax[0, 0, :1].astype(jnp.int16)  # perturb
+            d32 = KA._pad2(dd.astype(jnp.int32), KA.ROW_BATCH, chunk,
+                           value=KA.INVALID_I32)
+            bases = KA._chunk_window_bases(
+                d32, w, d32.shape[1], wcap, chunk)
+            # Consume EVERY row: summing only row 0 lets XLA prune the
+            # computation to one row block (a first probe run measured ~0).
+            return bases.astype(jnp.float32).sum()
+    elif stage == "compose":
+        # Direct composition of the two stage calls — IDENTICAL work to
+        # bicos.match (fresh disp, fresh bases) minus the match()/nested-jit
+        # wrapper. Distinguishes wrapper overhead from stage cost.
+        from libbicos_tpu import search as S
+        from libbicos_tpu.kernels.agree import agree_pallas
+
+        bk = S.resolve_backend("auto")
+
+        def step_fn(ax, b):
+            disp = S.search_stack(ax, b, cfg.mode, bicos.NoDuplicates(),
+                                  backend=bk)
+            out, _ = agree_pallas(disp, ax, b, 0.96, 0.1, 66.0)
+            return jnp.nan_to_num(out[0, :128]).sum()
+    elif stage == "compose_stale":
+        # TIMING-ONLY bisect (results are garbage): fresh disparities flow
+        # into the agree kernel, but _chunk_window_bases is monkeypatched
+        # to a loop-invariant constant — isolates "fresh bases/SMEM input"
+        # from "fresh disp input" as the compose_fixed-vs-e2e gap's cause.
+        from libbicos_tpu import search as S
+        from libbicos_tpu.kernels import agree as KA
+
+        bk = S.resolve_backend("auto")
+        disp_fixed = jax.block_until_ready(
+            S.search_stack(d0, d1, cfg.mode, bicos.NoDuplicates(),
+                           backend=bk))
+        chunk, wcap = KA.resolve_chunk_wcap("mxu", w)
+        d32f = KA._pad2(disp_fixed.astype(jnp.int32), KA.ROW_BATCH, chunk,
+                        value=KA.INVALID_I32)
+        bases_fixed = jax.block_until_ready(KA._chunk_window_bases(
+            d32f, w, d32f.shape[1], wcap, chunk))
+        KA._chunk_window_bases = (
+            lambda *a, **k: bases_fixed)  # timing-only patch
+
+        def step_fn(ax, b):
+            disp = S.search_stack(ax, b, cfg.mode, bicos.NoDuplicates(),
+                                  backend=bk)
+            out, _ = KA.agree_pallas(disp, ax, b, 0.96, 0.1, 66.0)
+            return jnp.nan_to_num(out[0, :128]).sum()
+    elif stage == "compose_fixed":
+        # Both kernels per iteration, but agree consumes a LOOP-INVARIANT
+        # disparity (the search output is kept alive through the carry, so
+        # it cannot be dead-code-eliminated): isolates the cost of the
+        # disp-dependent glue between the stages (pad + window bases +
+        # int16->i32 + SMEM staging) from the kernels themselves.
+        from libbicos_tpu import search as S
+        from libbicos_tpu.kernels.agree import agree_pallas
+
+        bk = S.resolve_backend("auto")
+        disp_fixed = jax.block_until_ready(
+            S.search_stack(d0, d1, cfg.mode, bicos.NoDuplicates(),
+                           backend=bk))
+
+        def step_fn(ax, b):
+            disp = S.search_stack(ax, b, cfg.mode, bicos.NoDuplicates(),
+                                  backend=bk)
+            s_live = jnp.where(
+                disp == -32768, 0, disp)[0, :128].astype(jnp.float32).sum()
+            out, _ = agree_pallas(disp_fixed, ax, b, 0.96, 0.1, 66.0)
+            return s_live + jnp.nan_to_num(out[0, :128]).sum()
+    else:
+        def step_fn(ax, b):
+            out = bicos.match(ax, b, cfg)
+            return jnp.nan_to_num(out[0, :128]).sum()
+
+    # Perturbation side: XORing only the LEFT stack (the bench.py protocol)
+    # degrades left-right matching — disparities scatter, more pixels go
+    # invalid, and dynamic-window chunks fall back to full-width dots — so
+    # it measures a HARDER workload than a real matched pair. PERTBOTH=1
+    # XORs both stacks with the same value, which preserves the match
+    # structure (equal temporal series stay equal) while still making every
+    # execution distinct for the dedupe.
+    pert_both = os.environ.get("BICOS_PROBE_PERTBOTH") == "1"
+
     @jax.jit
     def chained(a, b, r):
         def body(k, acc):
-            ax = a ^ (k & 0xFF).astype(jnp.uint8)
-            out = bicos.match(ax, b, cfg)
-            return acc + jnp.nan_to_num(out[0, :128]).sum()
+            kv = (k & 0xFF).astype(jnp.uint8)
+            ax = a ^ kv
+            bx = b ^ kv if pert_both else b
+            return acc + step_fn(ax, bx)
 
         return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
 
@@ -102,7 +229,7 @@ def main():
     per_iter = (t_r2 - t_r1) / (r2 - r1)
     overhead = t_r1 - per_iter * r1
     print(json.dumps({
-        "metric": f"e2e_headline_device_only_H{h}_n{n}_w{w}_ms",
+        "metric": f"{stage}_headline_device_only_H{h}_n{n}_w{w}_ms",
         "value": round(per_iter, 2),
         "fixed_call_overhead_ms": round(overhead, 2),
         "t_r1_ms": round(t_r1, 2), "t_r2_ms": round(t_r2, 2),

@@ -127,8 +127,17 @@ def agree_subpixel(
     step: float,
     minvar: Optional[float],
     precision: Precision = Precision.SINGLE,
+    col_offset=0,
 ):
     """Subpixel parabola-sweep NXCORR validation.
+
+    ``col_offset``: global column offset of ``disp``'s band (W-banded
+    sharding). The refined output is ``float32(d + col_offset) - best_x``
+    computed with the offset applied in EXACT integer arithmetic before the
+    single float rounding — adding the offset to the float output after the
+    fact rounds twice and lands 1 ulp off the single-chip value whenever
+    the x grid is not exactly representable (step 0.1; caught by the
+    differential fuzz soak, tools/fuzz_soak.py).
 
     Returns (disp f32 with NaN invalid, corrmap f32).
     """
@@ -188,8 +197,7 @@ def agree_subpixel(
     corr_val = jnp.where(border, nxc_border, best_nxc)
     corr = jnp.where(keep, corr_val, jnp.nan).astype(jnp.float32)
     final = keep & ~(corr_val < dt(threshold))
-    ret = jnp.where(
-        border, d.astype(jnp.float32), d.astype(jnp.float32) - best_x
-    )
+    dg = (d + jnp.int32(col_offset)).astype(jnp.float32)  # exact int add
+    ret = jnp.where(border, dg, dg - best_x)
     out = jnp.where(final, ret, jnp.nan).astype(jnp.float32)
     return out, corr

@@ -114,6 +114,19 @@ WINDOW_LANE_CAP = 1536
 # to 490 s; the 256/640 program is the shape that pays for itself.
 _dw = _os.environ.get("BICOS_AGREE_DYNWIN", "auto")
 AGREE_DYNWIN = None if _dw == "auto" else int(_dw)
+# Where the dynamic-window bases are computed. "kernel": inside
+# the Pallas kernel from the disparity block already in VMEM (per-chunk
+# keep-masked min/max -> VMEM scratch -> one small DMA to SMEM per grid
+# step -> scalar reads); the wrapper's bases operand becomes an inert
+# constant. "host": the wrapper precomputes them with _chunk_window_bases
+# and feeds them as a fresh SMEM operand — measured 2026-08-20 to add
+# ~17 ms/frame to the fused pipeline (chained-probe bisect,
+# bench/logs/r3/probe_chained_compose_stale.log: 105.7 ms with a
+# loop-invariant bases operand vs 122.6 with the fresh one, while the
+# bases arithmetic itself measures ~1 ms standalone — the cost is the
+# freshly-produced operand, not the math). Both modes compute the SAME
+# base values; results are bit-identical by construction either way.
+AGREE_BASES = _os.environ.get("BICOS_AGREE_BASES", "host")
 
 INVALID_I32 = -32768
 
@@ -360,6 +373,9 @@ def _agree_kernel(
     corr_ref,  # (8, WP) f32 — NXCORR, NaN where not computed
     bt_scratch,  # (128, WP) bf16 or None — MXU-gather series matrix
     gout_scratch,  # (8, CHUNK, 128) f32 or None — MXU-gather dot outputs
+    bases_vmem=None,  # (8, NCP) i32 VMEM — in-kernel bases staging
+    bases_smem=None,  # (8, NCP) i32 SMEM — scalar-readable bases
+    bases_sem=None,  # DMA semaphore for the VMEM->SMEM staging copy
     *,
     n: int,
     w: int,
@@ -371,7 +387,8 @@ def _agree_kernel(
     xs: tuple,  # () for the integer variant
     in_mod: int,  # modular mask for the input dtype (0xFF / 0xFFFF)
     mxu_gather: bool,
-    interpret: bool,
+    inkernel_bases: bool = False,
+    interpret: bool = False,
 ):
     nblk = wp // BLK
     # Guard against XLA's value-changing algebraic rewrites in interpret
@@ -389,6 +406,30 @@ def _agree_kernel(
     col1c = jnp.clip(col1, 0, w - 1)
     border = (col1c == 0) | (col1c == w - 1)
     nxcorr_serial = _make_nxcorr(n, fn, minvar, B)
+
+    if mxu_gather and wcap and inkernel_bases:
+        # In-kernel dynamic-window bases: exactly _chunk_window_bases'
+        # arithmetic, but computed from the keep/col1c blocks already in
+        # VMEM (the wrapper's precomputed-operand variant measured +17 ms
+        # per frame end-to-end — see AGREE_BASES). The per-chunk keep-masked
+        # min/max land in a VMEM staging row, one small DMA per grid step
+        # moves them to SMEM, and the chunk loop below reads them back as
+        # scalars for the windowed/full-width branch.
+        for oc in range(wp // chunk):
+            cs = slice(oc * chunk, (oc + 1) * chunk)
+            kc = keep[:, cs]
+            cc = col1c[:, cs]
+            lo = jnp.min(jnp.where(kc, cc, w - 1), axis=1, keepdims=True)
+            hi = jnp.max(jnp.where(kc, cc, 0), axis=1, keepdims=True)
+            bse = jnp.minimum(lo, wp - wcap) & ~jnp.int32(127)
+            ok = hi <= bse + (wcap - 1)
+            bases_vmem[:, oc:oc + 1] = jnp.where(ok, bse, jnp.int32(-1))
+        stage = pltpu.make_async_copy(bases_vmem, bases_smem, bases_sem)
+        stage.start()
+        stage.wait()
+        bases_rd = bases_smem
+    else:
+        bases_rd = bases_ref
 
     # MXU one-hot gather, row-major schedule: the series matrix
     # ``bt_scratch`` depends only on the image row (and byte for u16), so it
@@ -483,7 +524,7 @@ def _agree_kernel(
                     # per-shot middle-axis slices relayout worse than one
                     # chunk transpose.)
                     if wcap:
-                        base = bases_ref[r, oc]
+                        base = bases_rd[r, oc]
 
                         @pl.when(base >= 0)
                         def _(base=base, r=r, cs=cs, byte=byte):
@@ -771,9 +812,10 @@ def resolve_chunk_wcap(gather: str, w: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("threshold", "minvar", "xs", "interpret"),
+    static_argnames=("threshold", "minvar", "xs", "interpret", "bases_mode"),
 )
-def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
+def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret,
+                bases_mode="host"):
     n, h, w = stack0.shape
     u16_in = stack0.dtype == jnp.uint16
     in_mod = 0xFFFF if u16_in else 0xFF
@@ -849,15 +891,34 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
 
     mxu_gather = gather == "mxu"
     nc = wp // chunk
-    bases = (_chunk_window_bases(d32, w, wp, wcap, chunk) if wcap
-             else jnp.full((hp, nc), -1, jnp.int32))
+    inkernel = bool(wcap) and mxu_gather and bases_mode == "kernel"
+    if inkernel:
+        # The operand slot stays (same pallas signature both modes) but
+        # becomes an INERT constant: the kernel computes the real bases
+        # into scratch. A freshly-produced per-frame bases operand measured
+        # +17 ms end-to-end (see AGREE_BASES); a constant is free.
+        bases = jnp.full((hp, nc), -1, jnp.int32)
+    else:
+        bases = (_chunk_window_bases(d32, w, wp, wcap, chunk) if wcap
+                 else jnp.full((hp, nc), -1, jnp.int32))
     kernel = functools.partial(
         _agree_kernel,
         n=n, w=w, wp=wp, wcap=wcap, chunk=chunk,
         threshold=threshold, minvar=minvar, xs=xs, in_mod=in_mod,
-        mxu_gather=mxu_gather,
+        mxu_gather=mxu_gather, inkernel_bases=inkernel,
         interpret=interpret,
     )
+    ncp = ((nc + 127) // 128) * 128
+    scratch = [
+        pltpu.VMEM((128, wp), b_dtype),
+        pltpu.VMEM((ROW_BATCH, wp, 128), jnp.float32),
+    ]
+    if inkernel:
+        scratch += [
+            pltpu.VMEM((ROW_BATCH, ncp), jnp.int32),
+            pltpu.SMEM((ROW_BATCH, ncp), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
     out, corr = pl.pallas_call(
         kernel,
         grid=(hp // ROW_BATCH,),
@@ -883,10 +944,7 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret):
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((128, wp), b_dtype),
-            pltpu.VMEM((ROW_BATCH, wp, 128), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -920,4 +978,5 @@ def agree_pallas(
         minvar=None if minvar is None else float(minvar),
         xs=xs,
         interpret=interpret,
+        bases_mode=AGREE_BASES,
     )

@@ -436,10 +436,14 @@ def _agree_banded(disp, stack0_local, stack1_full, col0, cfg: Config, minvar):
         invalid, jnp.int32(-32768), disp.astype(jnp.int32) - offset
     ).astype(jnp.int16)
     if cfg.subpixel_step is not None:
+        # col_offset applies the global offset inside agree's EXACT integer
+        # disparity before the single float rounding of ``d - best_x``;
+        # adding it to the float output here instead rounds twice — 1 ulp
+        # off the single-chip pipeline for non-representable x grids
+        # (step 0.1), breaking the W-band exactness contract.
         out, corr = _agree.agree_subpixel(
             d_shift, stack0_local, stack1_full, cfg.nxcorr_threshold,
-            cfg.subpixel_step, minvar, cfg.precision)
-        out = jnp.where(jnp.isnan(out), out, out + offset.astype(jnp.float32))
+            cfg.subpixel_step, minvar, cfg.precision, col_offset=offset)
     else:
         out, corr = _agree.agree_integer(
             d_shift, stack0_local, stack1_full, cfg.nxcorr_threshold, minvar,

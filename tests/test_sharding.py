@@ -122,6 +122,13 @@ def test_match_sharded_w_pallas_ring(rng, mesh):
     Config(nxcorr_threshold=None),
     Config(nxcorr_threshold=0.5, min_variance=1.0),
     Config(nxcorr_threshold=0.6, subpixel_step=0.5),
+    # step 0.1: the x grid is NOT exactly representable in f32, so the
+    # banded agree must apply its column offset inside the exact integer
+    # disparity (agree_subpixel col_offset) — adding it to the float
+    # output rounds twice and lands 1 ulp off single-chip (regression:
+    # found by tools/fuzz_soak.py; steps 0.5/0.25 are exact grids and
+    # cannot catch it).
+    Config(nxcorr_threshold=0.6, subpixel_step=0.1),
     Config(nxcorr_threshold=None,
            variant=Consistency(max_lr_diff=1, no_dupes=True)),
     Config(nxcorr_threshold=None,

@@ -24,6 +24,16 @@ import traceback
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
     os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+# Strict f32 exactly like tests/conftest.py: with excess precision (the
+# terminal default) XLA CPU evaluates fused f32 regions in wider registers,
+# so the SAME math rounds differently across fusion contexts (plain vs
+# shard_map) — a first soak run without this flag reported 15 pure-ulp
+# "divergences" on the W-band subpixel path that are compiler artifacts,
+# not library behavior (TPU hardware is strict f32 and unaffected).
+os.environ["XLA_FLAGS"] = os.environ["XLA_FLAGS"].replace(
+    "--xla_allow_excess_precision=true", "")
+if "xla_allow_excess_precision" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_allow_excess_precision=false"
 
 import jax  # noqa: E402
 
@@ -116,10 +126,25 @@ def run_trial(fz, mode_name):
             cmp_disp(got_d, want_d, None, ctx)
             return ctx
         got_d, got_c = bicos.match(s0, s1, cfg, corrmap=True, backend=backend)
-        np.testing.assert_allclose(
-            np.asarray(got_c), want_c, rtol=3e-5, atol=3e-5,
-            equal_nan=True, err_msg=ctx)
+        got_c = np.asarray(got_c)
         got_d, want_dn = np.asarray(got_d), np.asarray(want_d)
+        cerr = np.abs(np.nan_to_num(got_c, nan=-9.0)
+                      - np.nan_to_num(want_c, nan=-9.0))
+        if step is not None:
+            # fma (engine) vs serial (oracle) nxcorr differs by 1-2 ulps,
+            # which can flip the sweep winner at a near-tie: there the corr
+            # is the OTHER candidate's value (delta ~1e-3 observed), and
+            # the disparity moves too. Require corr agreement except at
+            # such flips (bounded delta AND a moved disparity).
+            flip = np.abs(np.nan_to_num(got_d.astype(np.float32))
+                          - np.nan_to_num(want_dn.astype(np.float32))) > 1e-6
+            ok = (cerr < 3e-5) | (flip & (cerr < 2e-2))
+            assert ok.all(), ctx + f" corr mismatch beyond flip policy " \
+                f"(max {cerr[~ok].max():.3g})"
+        else:
+            np.testing.assert_allclose(
+                got_c, want_c, rtol=3e-5, atol=3e-5,
+                equal_nan=True, err_msg=ctx)
         if step is None:
             cmp_disp(got_d, want_dn, None, ctx)
         else:
@@ -170,6 +195,12 @@ def main():
             if os.environ.get("BICOS_FUZZ_FAILFAST"):
                 sys.exit(1)
         t += 1
+        if t % 50 == 0:
+            # Every trial is a fresh shape -> a fresh jit executable; an
+            # open-ended soak otherwise grows the compile caches without
+            # bound (a first run died in LLVM with ENOMEM after ~200
+            # trials alongside a concurrent test run).
+            jax.clear_caches()
     print(f"done: {t} trials, {failures} failures, "
           f"{time.time() - t0:.0f}s", flush=True)
     sys.exit(1 if failures else 0)
