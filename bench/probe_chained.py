@@ -126,6 +126,31 @@ def main():
                                   backend=bk)
             out, _ = agree_pallas(disp, ax, b, 0.96, 0.1, 66.0)
             return jnp.nan_to_num(out[0, :128]).sum()
+    elif stage == "compose_stale2":
+        # TIMING-ONLY: the bases OPERAND is data-dependent (not constant-
+        # foldable) but its VALUES equal the precomputed real bases and its
+        # computation is one broadcast add — distinguishes "non-constant
+        # SMEM operand costs 17 ms" from "the reduce computation does".
+        from libbicos_tpu import search as S
+        from libbicos_tpu.kernels import agree as KA
+
+        bk = S.resolve_backend("auto")
+        disp_fixed = jax.block_until_ready(
+            S.search_stack(d0, d1, cfg.mode, bicos.NoDuplicates(),
+                           backend=bk))
+        chunk, wcap = KA.resolve_chunk_wcap("mxu", w)
+        d32f = KA._pad2(disp_fixed.astype(jnp.int32), KA.ROW_BATCH, chunk,
+                        value=KA.INVALID_I32)
+        bases_fixed = jax.block_until_ready(KA._chunk_window_bases(
+            d32f, w, d32f.shape[1], wcap, chunk))
+        KA._chunk_window_bases = (
+            lambda d32, *a, **k: bases_fixed + (d32[0, 0] & 0))
+
+        def step_fn(ax, b):
+            disp = S.search_stack(ax, b, cfg.mode, bicos.NoDuplicates(),
+                                  backend=bk)
+            out, _ = KA.agree_pallas(disp, ax, b, 0.96, 0.1, 66.0)
+            return jnp.nan_to_num(out[0, :128]).sum()
     elif stage == "compose_stale":
         # TIMING-ONLY bisect (results are garbage): fresh disparities flow
         # into the agree kernel, but _chunk_window_bases is monkeypatched

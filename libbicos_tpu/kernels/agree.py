@@ -218,13 +218,74 @@ def _chunk_window_bases(d32, w: int, wp: int, wcap: int, chunk: int):
     col1 = col - d32
     keep = valid & (col1 >= 0) & (col1 < w)
     col1c = jnp.clip(col1, 0, w - 1)
-    hp = d32.shape[0]
     nc = wp // chunk
-    lo = jnp.where(keep, col1c, w - 1).reshape(hp, nc, chunk).min(axis=2)
-    hi = jnp.where(keep, col1c, 0).reshape(hp, nc, chunk).max(axis=2)
+    lom = jnp.where(keep, col1c, w - 1)
+    him = jnp.where(keep, col1c, 0)
+    # Per-chunk reduces as lane-axis slice reductions, NOT a
+    # reshape(hp, nc, chunk).min(axis=2): the 3-D minor-axis reduce lowers
+    # so badly on TPU that it alone added ~18 ms/frame to the fused
+    # pipeline (chained-probe bisect 2026-08-20: 123.7 -> 105.7 ms with
+    # this computation replaced by a precomputed operand of the same
+    # values; bench/logs/r3/probe_chained_compose_stale2.log). The sliced
+    # form emits plain (hp, chunk) lane reductions.
+    lo = jnp.concatenate(
+        [lom[:, oc * chunk:(oc + 1) * chunk].min(axis=1, keepdims=True)
+         for oc in range(nc)], axis=1)
+    hi = jnp.concatenate(
+        [him[:, oc * chunk:(oc + 1) * chunk].max(axis=1, keepdims=True)
+         for oc in range(nc)], axis=1)
     base = jnp.minimum(lo, wp - wcap) & ~jnp.int32(127)
     ok = hi <= base + (wcap - 1)
     return jnp.where(ok, base, jnp.int32(-1))
+
+
+def _bases_kernel(d_ref, out_ref, *, w: int, wp: int, wcap: int, chunk: int):
+    """Tiny Pallas kernel producing `_chunk_window_bases` values.
+
+    Same integer arithmetic as the XLA formulation, but emitted as plain
+    VMEM lane reductions: XLA's own lowering of the masked per-chunk
+    min/max (lane-axis slice reduces over (H, WP) i32 through S(1)
+    buffers) measured ~18 ms/frame inside the fused pipeline — the whole
+    compose-probe gap (bench/logs/r3/probe_chained_compose_stale2.log:
+    105.7 ms with these values precomputed vs 123.7 computing them in
+    XLA). The kernel streams the disparity block once.
+    """
+    d = d_ref[...]
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROW_BATCH, wp), 1)
+    valid = d != INVALID_I32
+    col1 = col - d
+    keep = valid & (col1 >= 0) & (col1 < w)
+    col1c = jnp.clip(col1, 0, w - 1)
+    for oc in range(wp // chunk):
+        cs = slice(oc * chunk, (oc + 1) * chunk)
+        kc = keep[:, cs]
+        cc = col1c[:, cs]
+        lo = jnp.min(jnp.where(kc, cc, w - 1), axis=1, keepdims=True)
+        hi = jnp.max(jnp.where(kc, cc, 0), axis=1, keepdims=True)
+        bse = jnp.minimum(lo, wp - wcap) & ~jnp.int32(127)
+        ok = hi <= bse + (wcap - 1)
+        out_ref[:, oc:oc + 1] = jnp.where(ok, bse, jnp.int32(-1))
+
+
+def _chunk_window_bases_pallas(d32, w: int, wp: int, wcap: int, chunk: int,
+                               interpret: bool = False):
+    """(hp, ncp) bases via :func:`_bases_kernel` (ncp = nc padded to 128;
+    lanes past nc are uninitialized and must not be read)."""
+    hp = d32.shape[0]
+    nc = wp // chunk
+    ncp = ((nc + 127) // 128) * 128
+    kernel = functools.partial(
+        _bases_kernel, w=w, wp=wp, wcap=wcap, chunk=chunk)
+    return pl.pallas_call(
+        kernel,
+        grid=(hp // ROW_BATCH,),
+        in_specs=[pl.BlockSpec((ROW_BATCH, wp), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ROW_BATCH, ncp), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, ncp), jnp.int32),
+        interpret=interpret,
+    )(d32)
 
 
 def _gather_row(load_blk, bi, li, nblk: int):
@@ -898,6 +959,12 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret,
         # into scratch. A freshly-produced per-frame bases operand measured
         # +17 ms end-to-end (see AGREE_BASES); a constant is free.
         bases = jnp.full((hp, nc), -1, jnp.int32)
+    elif wcap and mxu_gather and bases_mode == "pallas":
+        # Same values via the tiny bases kernel — sidesteps XLA's slow
+        # lane-reduce emitter for the masked per-chunk min/max (the whole
+        # compose-probe gap; see _bases_kernel).
+        bases = _chunk_window_bases_pallas(d32, w, wp, wcap, chunk,
+                                           interpret=interpret)
     else:
         bases = (_chunk_window_bases(d32, w, wp, wcap, chunk) if wcap
                  else jnp.full((hp, nc), -1, jnp.int32))
@@ -925,7 +992,7 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret,
         in_specs=[
             pl.BlockSpec((1, xspad), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROW_BATCH, nc), lambda r: (r, 0),
+            pl.BlockSpec((ROW_BATCH, bases.shape[1]), lambda r: (r, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((ROW_BATCH, wp), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
