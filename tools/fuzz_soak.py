@@ -163,6 +163,21 @@ def run_trial(fz, mode_name):
                 got_d[both], want_dn[both], atol=step + 1e-6, err_msg=ctx)
         return ctx
 
+    if mode_name == "batched":
+        # Batched matching must equal per-pair matches EXACTLY (the fold
+        # into the row axis is a pure layout change; rows are independent).
+        b = int(fz.integers(2, 5))
+        pairs = [(s0, s1)]
+        for k in range(1, b):
+            pairs.append((s0 ^ np.uint8(k), s1 ^ np.uint8(k)))
+        b0 = np.stack([p[0] for p in pairs])
+        b1 = np.stack([p[1] for p in pairs])
+        got = np.asarray(bicos.match_batched(b0, b1, cfg, backend="xla"))
+        for k in range(b):
+            want = np.asarray(bicos.match(*pairs[k], cfg, backend="xla"))
+            cmp_disp(got[k], want, None, ctx + f" [batched k={k}/{b}]")
+        return ctx + f" batch={b}"
+
     # shard: single-chip XLA is the reference; sharded paths must be EXACT.
     from libbicos_tpu.sharding import make_mesh, match_sharded, match_sharded_w
 
@@ -180,7 +195,7 @@ def main():
     ap.add_argument("--trials", type=int, default=0,
                     help="0 = run until killed")
     ap.add_argument("--seed", type=int, default=int(time.time()))
-    ap.add_argument("--modes", default="xla,interp,shard")
+    ap.add_argument("--modes", default="xla,interp,shard,batched")
     args = ap.parse_args()
     modes = args.modes.split(",")
     fz = np.random.default_rng(args.seed)
