@@ -15,9 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
 # environment's default), XLA CPU evaluates fused f32 regions in wider
 # registers, so NXCORR values drift ulps away from the reference arithmetic
 # (TPU hardware is strict f32 and unaffected).
-flags = flags.replace("--xla_allow_excess_precision=true", "")
-if "xla_allow_excess_precision" not in flags:
-    flags = (flags + " --xla_allow_excess_precision=false").strip()
+import re as _re
+
+# Strip ANY prior spelling (bare flag, =1, =true) — the exact-string
+# replace this used to do let a bare `--xla_allow_excess_precision`
+# survive and then suppressed the =false append.
+flags = _re.sub(r"--xla_allow_excess_precision(=\S*)?", "", flags)
+flags = (flags + " --xla_allow_excess_precision=false").strip()
 os.environ["XLA_FLAGS"] = flags
 
 import jax

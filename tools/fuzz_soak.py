@@ -30,10 +30,11 @@ if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
 # shard_map) — a first soak run without this flag reported 15 pure-ulp
 # "divergences" on the W-band subpixel path that are compiler artifacts,
 # not library behavior (TPU hardware is strict f32 and unaffected).
-os.environ["XLA_FLAGS"] = os.environ["XLA_FLAGS"].replace(
-    "--xla_allow_excess_precision=true", "")
-if "xla_allow_excess_precision" not in os.environ["XLA_FLAGS"]:
-    os.environ["XLA_FLAGS"] += " --xla_allow_excess_precision=false"
+import re as _re
+
+os.environ["XLA_FLAGS"] = _re.sub(
+    r"--xla_allow_excess_precision(=\S*)?", "", os.environ["XLA_FLAGS"])
+os.environ["XLA_FLAGS"] += " --xla_allow_excess_precision=false"
 
 import jax  # noqa: E402
 
@@ -153,7 +154,18 @@ def run_trial(fz, mode_name):
                 got_c, want_c, rtol=3e-5, atol=3e-5,
                 equal_nan=True, err_msg=ctx)
         if step is None:
-            cmp_disp(got_d, want_dn, None, ctx)
+            # Integer variant: validity may legitimately flip where the
+            # oracle's nxcorr sits within ulps of the drawn threshold (the
+            # same fma-vs-serial class as the subpixel near-tie policy);
+            # elsewhere the int16 disparities must be bit-equal.
+            inv_g = got_d == -32768
+            inv_w = want_dn == -32768
+            near = np.abs(np.nan_to_num(want_c, nan=-9.0)
+                          - cfg.nxcorr_threshold) < 3e-5
+            bad = (inv_g != inv_w) & ~near
+            assert not bad.any(), ctx + " validity flip away from threshold"
+            both = ~inv_g & ~inv_w
+            np.testing.assert_array_equal(got_d[both], want_dn[both], ctx)
         else:
             # fma-vs-oracle rounding can flip sweep winners near ties:
             # validity must broadly agree and values within one step.
@@ -210,7 +222,11 @@ def main():
             if t % 10 == 0:
                 print(f"[{t}] ok ({time.time() - t0:.0f}s) {ctx}",
                       flush=True)
-        except AssertionError:
+        except Exception:
+            # Catch EVERYTHING (lowering errors, runtime crashes, shape
+            # bugs) — a fuzzer whose harness dies on the most interesting
+            # failure class records nothing. KeyboardInterrupt/SystemExit
+            # still propagate (not Exception subclasses).
             failures += 1
             print(f"[{t}] FAILURE (seed={args.seed}):", flush=True)
             traceback.print_exc()
