@@ -7,11 +7,34 @@ can ``import libbicos_tpu.pybicos_compat as pybicos`` and keep their code:
   semantics (pybicos/__init__.py:110-196) and the C-ABI default values
   (pybicos_c.cpp:92-108: threshold 0.5, LIMITED, NoDuplicates),
 * :func:`match` taking *lists of 2-D arrays* and returning
-  ``(disparity, corrmap)`` — the corrmap is always computed, mirroring the
-  C-ABI quirk of forcing the NXCORR path (pybicos_c.cpp:158); when the config
-  disables NXCORR the corrmap is all-NaN but still returned with the right
-  shape (the C ABI returns whatever buffer the backend produced),
+  ``(disparity, corrmap)``,
 * :func:`invalid_disparity` (pybicos/__init__.py:246-252).
+
+The observable contract is pinned against the COMPILED reference CPU-build
+binding by ``tests/test_reference_differential.py`` (randomized engine-vs-
+real-C++ trials). Two measured C-ABI behaviors this module reproduces:
+
+1. **NXCORR cannot be disabled.** ``convertConfig`` only assigns config
+   fields when the sentinel is ``>= 0`` (pybicos_c.cpp:56-62), and the C++
+   ``Config`` default is ``nxcorr_threshold = 0.5f`` (common.hpp:74) — so a
+   None/negative threshold silently runs the 0.5 default. (``subpixel_step``
+   and ``min_variance`` default to nullopt, so their sentinels behave as
+   documented.)
+2. **float32 disparity, always.** Because a threshold is always in effect,
+   the CPU backend always converts the disparity to float32
+   (cpu.cpp:88-94); on the integer (non-subpixel) path that is a plain
+   ``convertTo`` cast, so invalid pixels stay ``-32768.0f`` — NOT NaN.
+   The corrmap is always real (NaN-initialized, written at searched pixels).
+
+KNOWN UPSTREAM BUG (not reproduced): the reference's own ctypes struct
+always includes a ``precision`` field (pybicos/__init__.py:41-51) while CPU
+builds compile the C struct WITHOUT it (pybicos_c.cpp:34-37), shifting every
+field after ``mode`` by 4 bytes — a stock CPU-build pybicos user asking for
+Consistency silently gets NoDuplicates with ``no_dupes`` read from
+``max_lr_diff``. This module implements the *corrected* (intended) layout;
+see PARITY.md row 18. ``precision`` exists here for CUDA-build interface
+compatibility and is honored by the engine (a capability superset: the CPU
+build has no precision concept at all).
 
 Everything runs through the TPU engine — there is no C ABI because the
 compute already lives behind XLA; the ctypes marshalling layer's job
@@ -124,15 +147,15 @@ class Config:
         ])
 
     def _to_native(self) -> _config.Config:
-        """Translate to the engine Config with the C ABI's sentinel rules
-        (pybicos_c.cpp:56-89: threshold < 0 means 'not set' -> but the match
-        entry point forces a threshold because corrmap is always on; we
-        preserve exact values)."""
-        # A negative threshold means "compute NXCORR but never reject": the
-        # C ABI maps negatives to nullopt (pybicos_c.cpp:60-62) yet always
-        # requests the corrmap, and nxcorr >= -1 always, so threshold<=-1 is
-        # the observable equivalent with a stable corrmap contract.
+        """Translate to the engine Config with the C ABI's sentinel rules.
+
+        Measured semantics (tests/test_reference_differential.py): a
+        None/negative threshold keeps the C++ default 0.5f — convertConfig
+        only assigns when the sentinel is >= 0 (pybicos_c.cpp:56-62,
+        common.hpp:74) — so NXCORR is always on through this surface."""
         thr = self.nxcorr_threshold
+        if thr is None or thr < 0:
+            thr = 0.5
         if self._variant_type == VariantType.CONSISTENCY.value:
             variant = _config.Consistency(
                 max_lr_diff=self._max_lr_diff, no_dupes=bool(self._no_dupes)
@@ -155,8 +178,14 @@ def match(
     cfg: Optional[Config] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """pybicos-compatible match: lists of 2-D images in, owned numpy arrays
-    (disparity, corrmap) out. The corrmap is always computed
-    (pybicos_c.cpp:158)."""
+    (disparity, corrmap) out.
+
+    Matches the compiled CPU-build binding byte-for-byte (see the module
+    docstring): a threshold is always in effect (the C ABI cannot clear the
+    0.5 default), so the disparity is always float32 — a plain cast of the
+    int16 map on the integer path (invalid stays -32768.0, cpu.cpp:88-94)
+    or the subpixel float map (invalid NaN) — and the corrmap is always a
+    real (H, W) float32 NXCORR map."""
     if (isinstance(stack0, (list, tuple)) and not stack0) or (
         isinstance(stack1, (list, tuple)) and not stack1
     ):
@@ -164,23 +193,10 @@ def match(
     if cfg is None:
         cfg = Config()
     native = cfg._to_native()
-    # The C ABI always requests a corrmap, which forces the NXCORR path even
-    # when the threshold is unset: it substitutes threshold -1 semantics by
-    # passing &corrmap unconditionally. With no threshold our engine skips
-    # NXCORR, so replicate by forcing threshold -1 like the CLI does.
-    if native.nxcorr_threshold is None:
-        native = _config.Config(
-            nxcorr_threshold=-1.0,
-            subpixel_step=native.subpixel_step,
-            min_variance=native.min_variance,
-            mode=native.mode,
-            precision=native.precision,
-            variant=native.variant,
-        )
     s0 = np.stack([np.ascontiguousarray(im) for im in stack0])
     s1 = np.stack([np.ascontiguousarray(im) for im in stack1])
     disp, corr = _pipeline.match(s0, s1, native, corrmap=True)
-    return np.asarray(disp), np.asarray(corr)
+    return float_disparity(disp), np.asarray(corr)
 
 
 def invalid_disparity(dtype):
@@ -198,10 +214,12 @@ def float_disparity(disparity) -> np.ndarray:
     backend converts the int16 disparity to float32 via ``convertTo(CV_32F)``
     — a plain cast, so invalid pixels stay ``-32768.0f`` rather than becoming
     NaN (the float-invalid convention elsewhere). That sharp edge is the
-    reference's own; this helper reproduces it exactly for callers porting
-    from the CPU build (the engine itself follows the CUDA backend and
-    returns int16, ``cuda.cu:457-458`` — see ``pipeline.match``). Float
-    inputs (subpixel outputs) pass through unchanged.
+    reference's own; :func:`match` above applies it by default (pinned
+    against the compiled binding in tests/test_reference_differential.py).
+    This helper remains for callers converting engine-native int16 output
+    (``pipeline.match`` follows the CUDA backend, ``cuda.cu:457-458``) to
+    the CPU-build convention. Float inputs (subpixel outputs) pass through
+    unchanged.
     """
     d = np.asarray(disparity)
     if d.dtype == np.float32:

@@ -92,26 +92,36 @@ def test_pybicos_compat_match(rng):
     assert cfg.variant == "NoDuplicates"
     disp, corr = pybicos.match(list(s0), list(s1), cfg)
     assert disp.shape == (6, 20) and corr.shape == (6, 20)
+    # CPU-build binding contract: float32 disparity, invalid stays -32768.0
+    # (cpu.cpp:88-94 convertTo cast; tests/test_reference_differential.py).
+    assert disp.dtype == np.float32
     want_d, want_c = bicos.match(
         s0, s1, bicos.Config(), corrmap=True, backend="xla"
     )
-    np.testing.assert_array_equal(disp, np.asarray(want_d))
+    np.testing.assert_array_equal(disp, np.asarray(want_d).astype(np.float32))
     np.testing.assert_array_equal(corr, np.asarray(want_c))
 
 
-def test_pybicos_compat_corrmap_always_on(rng):
-    """Threshold disabled still returns a corrmap (pybicos_c.cpp:158)."""
+def test_pybicos_compat_negative_threshold_keeps_default(rng):
+    """A negative threshold does NOT disable NXCORR through the C ABI:
+    convertConfig only assigns when >= 0 (pybicos_c.cpp:56-62), leaving the
+    C++ default 0.5f (common.hpp:74) — measured against the compiled binding
+    in tests/test_reference_differential.py."""
     from conftest import make_stack_pair
 
+    import libbicos_tpu as bicos
     import libbicos_tpu.pybicos_compat as pybicos
 
     s0, s1, _ = make_stack_pair(rng, 5, 4, 16)
     cfg = pybicos.Config()
-    cfg.nxcorr_threshold = -1.0  # negative = "disabled" in the C ABI
+    cfg.nxcorr_threshold = -1.0  # sentinel: keeps the 0.5 default
     disp, corr = pybicos.match(list(s0), list(s1), cfg)
-    assert corr.shape == disp.shape
-    # Never rejects: raw search output preserved wherever in-bounds.
-    assert np.isfinite(corr).any()
+    assert corr.shape == disp.shape and disp.dtype == np.float32
+    want_d, want_c = bicos.match(
+        s0, s1, bicos.Config(nxcorr_threshold=0.5), corrmap=True,
+        backend="xla")
+    np.testing.assert_array_equal(disp, np.asarray(want_d).astype(np.float32))
+    np.testing.assert_array_equal(corr, np.asarray(want_c))
 
 
 def test_pybicos_compat_consistency(rng):
