@@ -126,8 +126,10 @@ def orchestrate():
     # Clamp tier 1 to the budget itself: a 45 s floor alone would overrun
     # a BICOS_BENCH_BUDGET smaller than 45 s (kill at t=45 > budget) —
     # the no-artifact-within-budget failure this orchestrator prevents.
-    line = _spawn(mode, min(max(45.0, budget - reserve),
-                            max(10.0, budget - 2.0)))
+    # The outer max(1, ...) only guards budgets below ~3 s (a former 10 s
+    # inner floor could itself overrun such budgets).
+    line = _spawn(mode, max(1.0, min(max(45.0, budget - reserve),
+                                     budget - 2.0)))
     if line is None and mode == "headline" and remaining() > 50.0:
         print(f"bench: falling back to search mode "
               f"({remaining():.0f}s left)", file=sys.stderr, flush=True)

@@ -137,17 +137,21 @@ class Engine:
 
         cfg = self.cfg if cfg is None else cfg
         key = (s0.shape, str(s0.dtype), _cfg_key(cfg), corrmap)
-        batch = s0.shape[0] if s0.ndim == 4 else 0
-        if batch:
-            # Validate the 4-d pair BEFORE folding: after the fold a
-            # coincidental batch*H product match (e.g. (2,n,8,W) vs
+        if s0.ndim == 4 or s1.ndim == 4:
+            # Validate the 4-d pair BEFORE folding — and detect batching
+            # from EITHER operand: a 3-d stack0 with a 4-d stack1 must be
+            # rejected here, not left to downstream shape checks. After the
+            # fold a coincidental batch*H product match (e.g. (2,n,8,W) vs
             # (4,n,4,W)) would pass match_batched_folded's flat checks and
             # silently pair rows of different images (_fold_batch's
             # contract, pipeline.py).
-            if s1.ndim != 4 or s0.shape != s1.shape:
+            if s0.ndim != 4 or s1.ndim != 4 or s0.shape != s1.shape:
                 raise ValueError(
                     f"batched stacks must have identical (batch, n, H, W) "
                     f"shapes, got {s0.shape} vs {s1.shape}")
+            batch = s0.shape[0]
+        else:
+            batch = 0
         if batch and self.mesh is None:
             s0, s1 = self._fold(s0), self._fold(s1)
         with self._lock:
@@ -218,9 +222,25 @@ def _cfg_from_params(base: Config, params: Dict[str, list],
     return cfg
 
 
-def make_handler(engine: Engine):
+# Default request-body cap: a production batched request (batch=8 x 33
+# images x 2200x3300 u8, two stacks) is ~3.8 GB of npz payload, so the
+# default is deliberately generous; tighten with --max-body-mb for
+# smaller deployments. The daemon has NO authentication — it is designed
+# for a trusted rack network (see --help / docs/DEPLOYMENT.md).
+DEFAULT_MAX_BODY = 8 << 30
+# Socket read timeout (seconds) between received chunks; a stalled or
+# slow-loris client frees its handler thread after this. Device-side
+# compile/run time is NOT under this clock (it runs after the body is
+# fully read).
+DEFAULT_READ_TIMEOUT = 120.0
+
+
+def make_handler(engine: Engine, *, max_body_bytes: int = DEFAULT_MAX_BODY,
+                 read_timeout: float = DEFAULT_READ_TIMEOUT):
     class Handler(BaseHTTPRequestHandler):
         # one engine instance shared by all request threads
+        timeout = read_timeout  # socket read timeout (BaseRequestHandler)
+
         def _send(self, code: int, body: bytes, ctype: str):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
@@ -268,7 +288,18 @@ def make_handler(engine: Engine):
                 if url.path != "/match":
                     self._json(404, {"error": f"unknown path {url.path}"})
                     return
-                length = int(self.headers.get("Content-Length", "0"))
+                try:
+                    length = int(self.headers.get("Content-Length", ""))
+                except ValueError:
+                    self._json(411, {"error": "Content-Length required"})
+                    return
+                if length > max_body_bytes:
+                    # Reject before reading: protects host memory from a
+                    # single oversized request (the npz is buffered whole).
+                    self._json(413, {
+                        "error": f"body {length} bytes exceeds limit "
+                                 f"{max_body_bytes}"})
+                    return
                 data = np.load(io.BytesIO(self.rfile.read(length)))
                 s0, s1 = data["stack0"], data["stack1"]
                 want_corr = _bool_param(params.get("corrmap", ["0"])[0])
@@ -289,11 +320,14 @@ def make_handler(engine: Engine):
 
 
 def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8344,
-          *, warmup_shapes=(), ready_event: Optional[threading.Event] = None):
+          *, warmup_shapes=(), ready_event: Optional[threading.Event] = None,
+          max_body_bytes: int = DEFAULT_MAX_BODY,
+          read_timeout: float = DEFAULT_READ_TIMEOUT):
     """Blocking server loop; compiles ``warmup_shapes`` before serving."""
     for shape, dtype in warmup_shapes:
         engine.warmup(shape, dtype)
-    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    httpd = ThreadingHTTPServer((host, port), make_handler(
+        engine, max_body_bytes=max_body_bytes, read_timeout=read_timeout))
     if ready_event is not None:
         ready_event.set()
     try:
@@ -323,7 +357,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(
         prog="python -m libbicos_tpu.serve",
         description="Persistent BICOS matching service (warm compiled "
-                    "pipelines, npz-over-HTTP)")
+                    "pipelines, npz-over-HTTP). TRUSTED-NETWORK ONLY: the "
+                    "daemon has no authentication or TLS — bind it to "
+                    "localhost or a private rack network and front it with "
+                    "a real proxy if wider exposure is needed.")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8344)
     p.add_argument("-t", "--threshold", type=float, default=0.5)
@@ -333,6 +370,15 @@ def main(argv=None):
     p.add_argument("-m", "--lr-maxdiff", type=int, default=None)
     p.add_argument("--no-dupes", action="store_true")
     p.add_argument("--backend", default="auto")
+    p.add_argument("--max-body-mb", type=int,
+                   default=DEFAULT_MAX_BODY >> 20,
+                   help="reject request bodies larger than this with 413 "
+                        "(default %(default)s MiB — sized for batched "
+                        "production stacks)")
+    p.add_argument("--read-timeout", type=float,
+                   default=DEFAULT_READ_TIMEOUT,
+                   help="per-connection socket read timeout in seconds "
+                        "(default %(default)s)")
     p.add_argument("--devices", type=int, default=1,
                    help="H-band the pipeline over this many devices")
     p.add_argument("--warmup", action="append", default=[],
@@ -361,7 +407,9 @@ def main(argv=None):
     shapes = [_parse_warmup(s) for s in args.warmup]
     print(f"serving on http://{args.host}:{args.port} "
           f"(warmup: {len(shapes)} shapes)", flush=True)
-    serve(engine, args.host, args.port, warmup_shapes=shapes)
+    serve(engine, args.host, args.port, warmup_shapes=shapes,
+          max_body_bytes=args.max_body_mb << 20,
+          read_timeout=args.read_timeout)
 
 
 if __name__ == "__main__":

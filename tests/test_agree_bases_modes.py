@@ -56,6 +56,14 @@ def test_bases_kernel_values_match_xla(field):
 def test_agree_output_identical_across_bases_modes(field, step, monkeypatch):
     d, s0, s1, w = field
     _bases_mix(d, w)  # asserts the field exercises both branches
+    # Force the mxu gather: at this fixture's n=5 the auto resolution picks
+    # 'window' (no dynamic-window bases at all), which made this test
+    # vacuous — all three modes trivially ran the same window kernel.
+    # 3n=15 <= 128 so the forced mxu engine engages and the bases paths
+    # actually execute.
+    monkeypatch.setattr(KA, "AGREE_GATHER", "mxu")
+    assert KA._resolve_gather(5, bool(step), False)[0] == "mxu", \
+        "forced-mxu resolution changed; bases modes would go untested again"
     outs = {}
     for mode in ("host", "pallas", "kernel"):
         monkeypatch.setattr(KA, "AGREE_BASES", mode)

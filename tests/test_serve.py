@@ -325,3 +325,53 @@ def test_warmup_batched_shape(server):
     status, _ = _post(base + "/warmup?shape=3x4x8x24&dtype=u8", b"")
     assert status == 200
     assert engine.compiled_count == before + 1
+
+
+def test_mixed_ndim_batch_rejected(server, rng):
+    """A 3-d stack0 with a 4-d stack1 (or vice versa) is a clean 400 from
+    Engine.match's symmetric pre-fold validation — not a downstream shape
+    error from inside the pipeline."""
+    base, _ = server
+    s0, s1 = _stacks(rng)
+    b1 = np.stack([s1, s1])  # (2, 4, 8, 24)
+    status, body = _post(base + "/match", _npz(stack0=s0, stack1=b1))
+    assert status == 400 and b"batched stacks" in body
+    status, body = _post(base + "/match", _npz(stack0=b1, stack1=s0))
+    assert status == 400 and b"batched stacks" in body
+
+
+@pytest.fixture(scope="module")
+def capped_server():
+    """Server with a 4 KiB body cap for the 413 path."""
+    port = _free_port()
+    engine = Engine(
+        bicos.Config(nxcorr_threshold=0.5, min_variance=1.0),
+        backend="xla",
+    )
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve,
+        args=(engine, "127.0.0.1", port),
+        kwargs={"ready_event": ready, "max_body_bytes": 4096},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(120), "capped server failed to start"
+    return f"http://127.0.0.1:{port}"
+
+
+def test_oversized_body_413(capped_server, rng):
+    """Bodies beyond --max-body-mb are rejected with 413 BEFORE being read
+    into memory, and the server keeps serving (VERDICT r3 task 8)."""
+    big0 = rng.integers(0, 256, (4, 32, 64), dtype=np.uint8)
+    status, body = _post(capped_server + "/match",
+                         _npz(stack0=big0, stack1=big0))
+    assert status == 413
+    assert b"exceeds limit" in body
+    # A small request still succeeds afterwards.
+    s0 = rng.integers(0, 256, (4, 4, 12), dtype=np.uint8)
+    s1 = rng.integers(0, 256, (4, 4, 12), dtype=np.uint8)
+    status, body = _post(capped_server + "/match", _npz(stack0=s0, stack1=s1))
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    assert out["disparity"].shape == (4, 12)
