@@ -99,19 +99,17 @@ AGREE_GROUP = int(_os.environ.get("BICOS_AGREE_GROUP", "0"))
 WINDOW_LANE_CAP = 1536
 # Dynamic gather window (columns) for the full-width mxu gather: within one
 # (row, CHUNK) chunk the matched columns col1 = col - d span at most
-# CHUNK + local-disparity-range columns, so for locally smooth (or merely
-# range-bounded) disparity fields the one-hot contraction only needs a
-# DYNWIN-column slice of the series matrix — K drops from the padded image
-# width (e.g. 3328) to DYNWIN. Exact: the wrapper computes each chunk's
-# span from the disparity map, and chunks that don't fit the window fall
-# back to the full-width dot IN-KERNEL (base sentinel -1), so results are
-# bit-identical for every input. Must be a multiple of 128; 0 disables;
-# "auto" (the default) pairs a 640-column window with CHUNK=256 on the mxu
-# gather — measured 72.2 ms vs 88 full-width at the headline shape AND a
-# 3x smaller standalone program (44.7 s vs 126-132 s compile, 2026-08-20).
-# The round-2 lesson (BENCH_r02 rc=124) was the 512/1024 combination,
-# whose dual per-chunk codepaths inflated the whole-pipeline cold compile
-# to 490 s; the 256/640 program is the shape that pays for itself.
+# CHUNK + local-disparity-range columns, so the one-hot contraction only
+# needs a DYNWIN-column slice of the series matrix — K drops from the
+# padded image width (e.g. 3328) to DYNWIN; chunks that don't fit fall
+# back to the full-width dot in-kernel (base sentinel -1), bit-identical
+# for every input. OFF BY DEFAULT since round 4: the round-3 numbers that
+# made it the default (72.2 ms subpixel) came from standalone probes whose
+# CONSTANT bases let the compiler fold the fallback branches away — with
+# live bases the per-chunk branch structure costs ~31 ms/frame and the
+# full-width dots win outright (see resolve_chunk_wcap). Set
+# BICOS_AGREE_DYNWIN=640 (any multiple of 128; pairs with CHUNK=256) to
+# re-enable; "auto"/0 = off.
 _dw = _os.environ.get("BICOS_AGREE_DYNWIN", "auto")
 AGREE_DYNWIN = None if _dw == "auto" else int(_dw)
 # Where the dynamic-window bases are computed. "kernel": inside
@@ -127,6 +125,27 @@ AGREE_DYNWIN = None if _dw == "auto" else int(_dw)
 # freshly-produced operand, not the math). Both modes compute the SAME
 # base values; results are bit-identical by construction either way.
 AGREE_BASES = _os.environ.get("BICOS_AGREE_BASES", "host")
+# TIMING-ONLY diagnostics for the dynamic-window cost structure (results
+# are GARBAGE at chunks whose window doesn't fit — never enable outside a
+# probe). "forcewin": drop the per-chunk pl.when fallback branch, always
+# run the windowed dot with base clamped to >= 0 (keeps the runtime scalar
+# read + dynamic slice). "staticwin": additionally replace the runtime base
+# with the chunk-aligned static offset (no scalar read, no dynamic slice —
+# the compiler sees compile-time windows, the configuration every
+# constant-bases standalone probe accidentally measured).
+AGREE_DIAG = _os.environ.get("BICOS_AGREE_DIAG", "")
+# Windowed-gather control structure when the dynamic window is enabled.
+# "branch" (default): per-chunk pl.when windowed/full-width pair — the
+# best EXACT dynwin structure, though its ~31 ms/frame of lost Mosaic
+# pipelining is why dynwin itself is off by default (the r3 "17 ms bases
+# stall" was THIS: every constant-bases probe let the compiler fold the
+# branches away, so the cost was misattributed to producing the bases
+# operand). "deferred": branchless windowed dots + a per-row compacted
+# repair loop — also exact, measured WORSE (130.7 vs 123.6: dynamic-bound
+# loops serialize the encode/dot streams); kept as the documented design
+# point for future static-window work (branch-free lower bounds: 92.6
+# runtime-base / 89.4 static — AGREE_DIAG).
+AGREE_WINDOW = _os.environ.get("BICOS_AGREE_WINDOW", "branch")
 
 INVALID_I32 = -32768
 
@@ -151,16 +170,17 @@ def _window_ok(n: int, subpixel: bool, gsz: int) -> bool:
 def _resolve_gather(n: int, subpixel: bool, u16: bool = False):
     """Gather strategy for a stack size: ('window'|'mxu'|'shuffle', group).
 
-    Measured on one v5e core (n=33, 2200x3300, 2026-08-19):
+    Measured on one v5e core (n=33, 2200x3300; artifact-free numbers —
+    the r3 dynamic-window figures (72.2/56.9) are excluded, see
+    resolve_chunk_wcap):
 
-    * u8 subpixel: mxu wins — 72.2 ms with the auto dynamic window
-      (256/640, 2026-08-20) vs window's 103 at G=8 / 123 at G=16 (the
-      windowed dot is ~1.5x smaller but its per-vreg extraction costs
-      more than it saves);
-    * u8 integer: mxu with the dynamic window wins too — 56.9 ms at
-      256/640 (2026-08-20) vs window's 62.9 at G=8 and full-width mxu's
-      70.1; window remains the 42 < n <= 192 path where 3n no longer fits
-      the mxu section budget;
+    * u8 subpixel: full-width mxu wins — 88 ms standalone vs window's 103
+      at G=8 / 123 at G=16 (the windowed dot is ~1.5x smaller but its
+      per-vreg extraction costs more than it saves at 2 * G lanes/shot);
+    * u8 integer: the window gather wins at EVERY measured n — 62.9 ms at
+      G=8 vs full-width mxu's 70.1 (n=33); n=8: 42.4 vs ~56; n=16: 41.7
+      (2026-08-20) — its G lanes/shot extraction is half the subpixel
+      cost and the dot is wp/G-deep;
     * u16 subpixel: the full-width mxu kernel FAILS TPU compilation at
       production widths (Mosaic VMEM estimate 215.68M of 128M for the
       byte-split gather scratch, 2026-08-20) — window, whose scratches are
@@ -181,15 +201,12 @@ def _resolve_gather(n: int, subpixel: bool, u16: bool = False):
         return "window", group
     if forced == "mxu":
         return ("mxu" if 3 * n <= 128 else "shuffle"), group
-    # auto (see the measurements above)
-    if u16 and _window_ok(n, subpixel, group):
+    # auto (see the measurements above): the integer variant and u16
+    # always prefer the window gather; subpixel u8 prefers it only while
+    # the window dot fits ONE 128-lane slice (n * lanes <= 128 — measured
+    # n=8: 51.7 vs 60.1), then full-width mxu until the section budget.
+    if (u16 or not subpixel) and _window_ok(n, subpixel, group):
         return "window", group
-    # Small-n: when the window dot fits ONE 128-lane slice
-    # (n * lanes <= 128) it is strictly smaller than the n-INDEPENDENT
-    # dynamic-window mxu dot (128 output lanes regardless of n) — measured
-    # integer n=8: 42.4 ms (window) vs ~56 (mxu); n=16: 41.7; subpixel
-    # n=8: 51.7 vs 60.1 (2026-08-20). mxu wins once the window needs
-    # multiple slices (subpixel n=33: 72.2 vs 103; integer 56.9 vs 62.9).
     lanes = (2 * group) if subpixel else group
     if n * lanes <= 128 and _window_ok(n, subpixel, group):
         return "window", group
@@ -449,6 +466,7 @@ def _agree_kernel(
     in_mod: int,  # modular mask for the input dtype (0xFF / 0xFFFF)
     mxu_gather: bool,
     inkernel_bases: bool = False,
+    deferred: bool = False,  # branchless windowed dots + deferred repair
     interpret: bool = False,
 ):
     nblk = wp // BLK
@@ -499,6 +517,11 @@ def _agree_kernel(
     # (128, WP) fills + lane rotates per grid step.
     if mxu_gather:
         u16 = s1_ref.dtype == jnp.uint16
+        # u16 accumulates byte-1 dots INTO gout (store_g), which the
+        # deferred overwrite cannot repair; u16's production gather is the
+        # window strategy anyway (_resolve_gather), so keep the branch
+        # structure there.
+        deferred = deferred and not u16
         i8e = bt_scratch.dtype == jnp.int8
         # Section offsets in the series matrix: rows [0,n) the raw series,
         # [o1,o1+n) shifted right (value at col-1), [o2,o2+n) shifted left
@@ -548,26 +571,29 @@ def _agree_kernel(
                 return (v32 - 128).astype(jnp.int8)
             return v32.astype(jnp.float32).astype(jnp.bfloat16)
 
+        def encode_row(r, byte):
+            # Bulk fill: whole (n, WP) section stores instead of the
+            # previous per-shot (1, WP) writes (those ran at 1/8th
+            # sublane utilization — ~3n narrow casts/rolls/stores per
+            # image row). Wrapped edge lanes of the rolls only reach
+            # border pixels, which take the integer fallback.
+            rows32 = s1_ref[:, r, :].astype(jnp.int32)  # (n, WP)
+            if byte == 1:
+                rows32 = rows32 >> 8
+            elif u16:
+                rows32 = rows32 & jnp.int32(0xFF)
+            bt_scratch[0:n, :] = cv(rows32)
+            if xs:
+                # 32-bit lane rotates (narrow rotates don't lower);
+                # roll needs non-negative shifts: wp-1 == -1.
+                bt_scratch[o1:o1 + n, :] = cv(
+                    pltpu.roll(rows32, 1, axis=1))
+                bt_scratch[o2:o2 + n, :] = cv(
+                    pltpu.roll(rows32, wp - 1, axis=1))
+
         for byte in range(2 if u16 else 1):
             for r in range(ROW_BATCH):
-                # Bulk fill: whole (n, WP) section stores instead of the
-                # previous per-shot (1, WP) writes (those ran at 1/8th
-                # sublane utilization — ~3n narrow casts/rolls/stores per
-                # image row). Wrapped edge lanes of the rolls only reach
-                # border pixels, which take the integer fallback.
-                rows32 = s1_ref[:, r, :].astype(jnp.int32)  # (n, WP)
-                if byte == 1:
-                    rows32 = rows32 >> 8
-                elif u16:
-                    rows32 = rows32 & jnp.int32(0xFF)
-                bt_scratch[0:n, :] = cv(rows32)
-                if xs:
-                    # 32-bit lane rotates (narrow rotates don't lower);
-                    # roll needs non-negative shifts: wp-1 == -1.
-                    bt_scratch[o1:o1 + n, :] = cv(
-                        pltpu.roll(rows32, 1, axis=1))
-                    bt_scratch[o2:o2 + n, :] = cv(
-                        pltpu.roll(rows32, wp - 1, axis=1))
+                encode_row(r, byte)
                 for oc in range(wp // chunk):
                     cs = slice(oc * chunk, (oc + 1) * chunk)
                     # One-hot built transposed, (K, chunk): onehot_t[c, j]
@@ -584,7 +610,37 @@ def _agree_kernel(
                     # directly measured 25% slower end-to-end: the sweep's
                     # per-shot middle-axis slices relayout worse than one
                     # chunk transpose.)
-                    if wcap:
+                    if wcap and AGREE_DIAG == "staticwin":
+                        # TIMING-ONLY: compile-time window at the chunk's
+                        # own aligned offset (see AGREE_DIAG).
+                        bal = min(oc * chunk, wp - wcap) & ~127
+                        oh = widx == (col1c[r:r + 1, cs] - bal)
+                        g = gather_dot(
+                            oh, bt_scratch[:, bal:bal + wcap])
+                        store_g(r, cs, g, byte)
+                    elif wcap and AGREE_DIAG == "forcewin":
+                        # TIMING-ONLY: runtime base, no fallback branch.
+                        base = jnp.maximum(bases_rd[r, oc], 0)
+                        bal = pl.multiple_of(base, 128)
+                        oh = widx == (col1c[r:r + 1, cs] - base)
+                        g = gather_dot(
+                            oh, bt_scratch[:, pl.ds(bal, wcap)])
+                        store_g(r, cs, g, byte)
+                    elif wcap and deferred:
+                        # Branchless windowed dot for EVERY chunk: fallback
+                        # chunks (base < 0) run it too at a clamped base —
+                        # garbage that the deferred loop below overwrites —
+                        # so the MXU pipeline streams all 13 windowed dots
+                        # per row with no control-flow fence (the per-chunk
+                        # pl.when pair measured ~31 ms/frame of lost
+                        # pipelining; see AGREE_WINDOW mode notes).
+                        base = jnp.maximum(bases_rd[r, oc], 0)
+                        bal = pl.multiple_of(base, 128)
+                        oh = widx == (col1c[r:r + 1, cs] - base)
+                        g = gather_dot(
+                            oh, bt_scratch[:, pl.ds(bal, wcap)])
+                        store_g(r, cs, g, byte)
+                    elif wcap:
                         base = bases_rd[r, oc]
 
                         @pl.when(base >= 0)
@@ -604,6 +660,35 @@ def _agree_kernel(
                         oh = cidx == col1c[r:r + 1, cs]
                         g = gather_dot(oh, bt_scratch[...])
                         store_g(r, cs, g, byte)
+        if wcap and deferred:
+            # Deferred exact repair, AFTER the whole gather phase so the
+            # encode (VPU) / dot (MXU) streaming above never meets control
+            # flow: one dynamic-bound loop per row walks the COMPACTED
+            # fallback-chunk list (wrapper argsorts the bases; lane nc
+            # holds the count) and redoes just those chunks full-width,
+            # re-encoding the row per iteration (rare — ~8% of chunks).
+            # Why this structure: a per-chunk pl.when pair costs
+            # ~0.3 ms/frame PER SITE in lost Mosaic pipelining (104 sites
+            # = the misattributed r3 "bases stall", e2e 123.6 vs 92.6
+            # branch-free), and any control flow BETWEEN row streams
+            # serializes encode against dots (measured 130-132).
+            for r in range(ROW_BATCH):
+                nfv = bases_rd[r, wp // chunk]
+
+                def redo(k, _, r=r):
+                    oc = bases_rd[r, (wp // chunk) + 1 + k]
+                    c0 = pl.multiple_of(oc * chunk, chunk)
+                    encode_row(r, 0)
+                    d_c = disp_ref[r:r + 1, pl.ds(c0, chunk)]
+                    colv = c0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, chunk), 1)
+                    c1v = jnp.clip(colv - d_c, 0, w - 1)
+                    oh = cidx == c1v
+                    g = gather_dot(oh, bt_scratch[...])
+                    gout_scratch[r, pl.ds(c0, chunk), :] = g
+                    return 0
+
+                jax.lax.fori_loop(0, nfv, redo, 0)
 
     for oc in range(wp // chunk):
         cs = slice(oc * chunk, (oc + 1) * chunk)
@@ -846,24 +931,27 @@ def _window_series(s1, gsz: int, subpixel: bool, lp: int):
 def resolve_chunk_wcap(gather: str, w: int):
     """(chunk, wcap) for a gather strategy at image width ``w``.
 
-    Measured bracket (docs/TUNING.md): the mxu gather pairs CHUNK=256 with
-    a 640-column dynamic window (72.2 ms subpixel / 56.9 integer and a 3x
-    smaller program vs 88 ms full-width at 512); window/shuffle paths and
-    any mxu configuration where the window cannot engage (narrow images,
-    window smaller than a chunk plus its 128-lane alignment slack) keep
-    the measured full-width optimum of 512. Explicit env values win.
-    Single source of truth — the probe logs this same resolution.
+    Default: FULL-WIDTH dots (wcap=0, chunk=512). The dynamic window's
+    round-3 advantage (72.2 ms subpixel / 56.9 integer standalone vs 88
+    full-width) was a measurement artifact: every standalone agree probe
+    fed the kernel CONSTANT bases, which let the compiler fold the
+    per-chunk fallback branches away. With live (runtime) bases the
+    branch structure costs ~31 ms/frame of lost Mosaic pipelining, and
+    every exact branchless repair structure tried measured worse
+    (2026-08-20 chained e2e: full-width 121.6 < dynwin-branch 123.6 <
+    compact-repair 130.7 < clustered-pl.when 131.9 < post-phase-repair
+    163.8; branch-free-but-inexact lower bounds: 92.6 runtime-base /
+    89.4 static-base — the prize a future static-window design could
+    claim). BICOS_AGREE_DYNWIN=<cols> re-enables the window path.
+    Explicit env values win. Single source of truth — the probe logs this
+    same resolution.
     """
     def wp_of(c):
         return -(-w // c) * c
 
-    if gather == "mxu":
-        if AGREE_DYNWIN is None:  # auto
-            c = CHUNK or 256
-            wcap = 640 if c == 256 else 1024
-        else:
-            c = CHUNK or (256 if AGREE_DYNWIN else 512)
-            wcap = AGREE_DYNWIN
+    if gather == "mxu" and AGREE_DYNWIN:
+        c = CHUNK or 256
+        wcap = AGREE_DYNWIN if AGREE_DYNWIN > 0 else 640
         if (wcap > 0 and wcap % 128 == 0 and wcap >= c + 128
                 and wp_of(c) > wcap):
             return c, wcap
@@ -873,10 +961,11 @@ def resolve_chunk_wcap(gather: str, w: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("threshold", "minvar", "xs", "interpret", "bases_mode"),
+    static_argnames=("threshold", "minvar", "xs", "interpret", "bases_mode",
+                     "window_mode"),
 )
-def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret,
-                bases_mode="host"):
+def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
+                xs, interpret, bases_mode="host", window_mode="deferred"):
     n, h, w = stack0.shape
     u16_in = stack0.dtype == jnp.uint16
     in_mod = 0xFFFF if u16_in else 0xFF
@@ -952,8 +1041,18 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret,
 
     mxu_gather = gather == "mxu"
     nc = wp // chunk
-    inkernel = bool(wcap) and mxu_gather and bases_mode == "kernel"
-    if inkernel:
+    if ext_bases is not None and wcap and mxu_gather:
+        # Precomputed by the SEARCH kernel's epilogue
+        # (search.search_stack_nodupes_with_bases): same values as
+        # _chunk_window_bases, but produced where the packed minima already
+        # live — the external computation measured +17 ms/frame (r3
+        # chained-probe bisects; see AGREE_BASES).
+        if ext_bases.shape != (hp, nc):
+            raise ValueError(
+                f"ext_bases shape {ext_bases.shape} != {(hp, nc)}")
+        inkernel = False
+        bases = ext_bases
+    elif (inkernel := bool(wcap) and mxu_gather and bases_mode == "kernel"):
         # The operand slot stays (same pallas signature both modes) but
         # becomes an INERT constant: the kernel computes the real bases
         # into scratch. A freshly-produced per-frame bases operand measured
@@ -968,11 +1067,23 @@ def _agree_call(disp, stack0, stack1, *, threshold, minvar, xs, interpret,
     else:
         bases = (_chunk_window_bases(d32, w, wp, wcap, chunk) if wcap
                  else jnp.full((hp, nc), -1, jnp.int32))
+    deferred = (window_mode == "deferred" and bool(wcap) and mxu_gather
+                and stack0.dtype != jnp.uint16 and not inkernel)
+    if deferred:
+        # Augment the bases operand with the compacted fallback-chunk list
+        # the in-kernel repair loop walks: lane nc = count, lanes
+        # [nc+1, 2nc+1) = fallback chunk indices first (stable argsort on
+        # (hp, nc) — trivially-derived glue, not a full-disparity pass).
+        fb = bases < 0
+        nf = fb.sum(axis=1, dtype=jnp.int32)[:, None]
+        order = jnp.argsort(~fb, axis=1, stable=True).astype(jnp.int32)
+        bases = jnp.concatenate([bases, nf, order], axis=1)
     kernel = functools.partial(
         _agree_kernel,
         n=n, w=w, wp=wp, wcap=wcap, chunk=chunk,
         threshold=threshold, minvar=minvar, xs=xs, in_mod=in_mod,
         mxu_gather=mxu_gather, inkernel_bases=inkernel,
+        deferred=deferred,
         interpret=interpret,
     )
     ncp = ((nc + 127) // 128) * 128
@@ -1029,21 +1140,28 @@ def agree_pallas(
     minvar: Optional[float],
     *,
     interpret: bool = False,
+    bases=None,
 ):
     """Fused agree: returns (refined f32 disparity with NaN invalid, corrmap).
 
     ``step=None`` selects the integer variant (the caller converts back to
     int16 semantics); SINGLE precision only — DOUBLE falls back to the XLA
-    path in the pipeline.
+    path in the pipeline. ``bases`` optionally supplies the dynamic-window
+    bases precomputed by the search kernel
+    (``search.search_stack_nodupes_with_bases``) — shape
+    ``(pad(H, 8), pad(W, chunk)/chunk)`` int32, same values as
+    ``_chunk_window_bases``; ignored when the mxu dynamic window is not
+    active.
     """
     from ..agree import subpixel_xgrid
 
     xs = tuple(subpixel_xgrid(step)) if step is not None else ()
     return _agree_call(
-        disp, stack0, stack1,
+        disp, stack0, stack1, bases,
         threshold=float(threshold),
         minvar=None if minvar is None else float(minvar),
         xs=xs,
         interpret=interpret,
         bases_mode=AGREE_BASES,
+        window_mode=AGREE_WINDOW,
     )

@@ -783,8 +783,7 @@ def _minima_kernel_bf16_stack(
     s1_ref,  # (RB, n, W1PAD) raw right rows, revisited across i
     outf_ref,  # (RB, NI, TILE_I) f32 — packed first-minima
     outl_ref,  # (RB, NI, TILE_I) f32 — packed last-minima
-    b_scratch,  # (RB, BPAD, W1PAD) bf16 — on-chip bits + col rows, K-major
-    *,
+    *rest,  # [outb_ref (RB, 128) i32 when bases > 0], b_scratch
     nbits: int,
     w1: int,
     w1pad: int,
@@ -793,11 +792,29 @@ def _minima_kernel_bf16_stack(
     reduce: bool,
     u16: bool,
     pack_s: int = PACK_S,
+    bases: tuple = (),  # (chunk, wcap, wp) — emit agree window bases
+    w0: int = 0,  # real left width (bases keep mask); only when bases
 ):
     """bf16-engine fused transform+search (see :func:`_minima_kernel_i8_stack`
     for the on-chip transform and :func:`_minima_kernel` for the
     index-in-contraction packing). RB rows per grid step (``SEARCH_ROWS``)
-    amortize per-step overhead; dot shapes are unchanged."""
+    amortize per-step overhead; dot shapes are unchanged.
+
+    When ``bases`` is set, a third output carries the agree stage's
+    dynamic-window bases (``kernels/agree.py`` ``_chunk_window_bases``
+    values, bit-equal) computed from the packed minima already in
+    registers: the NoDuplicates keep mask is ``first == last`` and the
+    matched column of a kept pixel IS the first argmin, so the per-chunk
+    keep-masked min/max falls out of this kernel's epilogue for free.
+    Producing these values OUTSIDE the kernel — no matter how — measured
+    +17 ms/frame on the fused pipeline (r3 chained-probe bisects,
+    bench/logs/r3/probe_chained_compose_stale*.log: any implementation
+    that consumes the full decoded disparity between the kernels pays it,
+    while trivially-derived operands are free)."""
+    if rest and len(rest) == 2:
+        outb_ref, b_scratch = rest
+    else:
+        outb_ref, (b_scratch,) = None, rest
     i = pl.program_id(1)
     rb = s0_ref.shape[0]
     tile_i = s0_ref.shape[2]
@@ -839,6 +856,35 @@ def _minima_kernel_bf16_stack(
         )
         outf_ref[r, i, :] = outf
         outl_ref[r, i, :] = outl
+
+        if outb_ref is not None:
+            bchunk, bwcap, bwp = bases
+            # Decode first/last argmin from the packed minima (exact f32
+            # integer arithmetic; pack_s is a power of two).
+            inv = jnp.float32(1.0 / pack_s)
+            o2f = outf.reshape(1, tile_i)
+            o2l = outl.reshape(1, tile_i)
+            c1 = o2f - jnp.floor(o2f * inv) * pack_s
+            cl = (jnp.float32(pack_s - 1)
+                  - (o2l - jnp.floor(o2l * inv) * pack_s))
+            colg = (i * tile_i + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile_i), 1))
+            keep = (c1 == cl) & (colg < w0)
+            for hsub in range(tile_i // bchunk):
+                sl = slice(hsub * bchunk, (hsub + 1) * bchunk)
+                ks = keep[:, sl]
+                cs = c1[:, sl]
+                lo = jnp.min(jnp.where(ks, cs, jnp.float32(w1 - 1)),
+                             axis=1, keepdims=True)
+                hi = jnp.max(jnp.where(ks, cs, jnp.float32(0.0)),
+                             axis=1, keepdims=True)
+                bse = (jnp.minimum(lo.astype(jnp.int32),
+                                   jnp.int32(bwp - bwcap))
+                       & ~jnp.int32(127))
+                ok = hi.astype(jnp.int32) <= bse + jnp.int32(bwcap - 1)
+                # Lane hsub of this (row, tile) 128-lane block.
+                outb_ref[r:r + 1, hsub:hsub + 1] = jnp.where(
+                    ok, bse, jnp.int32(-1))
 
 
 def _consistency_kernel_bf16_stack(
@@ -1793,7 +1839,7 @@ def _padded_coeffs(n: int, mode, bpad: int):
     jax.jit,
     static_argnames=(
         "mode", "need_last", "tile_i", "tile_j", "interpret", "engine",
-        "reduce", "rows", "pack_s",
+        "reduce", "rows", "pack_s", "bases",
     ),
 )
 def _row_minima_stack(
@@ -1809,6 +1855,7 @@ def _row_minima_stack(
     reduce: bool,
     rows: int = 1,
     pack_s: int = PACK_S,
+    bases: tuple = (),
 ):
     from ..config import actual_bits
 
@@ -1840,6 +1887,10 @@ def _row_minima_stack(
         # per row tile (maximum N per MXU issue).
         tile_j = w1pad
 
+    # Agree-stage dynamic-window bases as a third kernel output (bf16
+    # NoDuplicates only — the eligibility gate lives in search.py).
+    emit_bases = bool(bases) and engine != "i8" and need_last \
+        and tile_i % bases[0] == 0 if bases else False
     kernel = functools.partial(
         kernel_fn,
         nbits=nbits,
@@ -1850,12 +1901,29 @@ def _row_minima_stack(
         reduce=reduce,
         u16=u16,
         pack_s=pack_s,
+        **({"bases": bases, "w0": w0} if emit_bases else {}),
     )
 
     cxj = jnp.asarray(cxp, jnp.bfloat16)
     cyj = jnp.asarray(cyp, jnp.bfloat16)
     grid = (hpad // rb, ni)
-    mf, ml = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((hpad, ni, tile_i), out_dtype),
+        jax.ShapeDtypeStruct((hpad, ni, tile_i), out_dtype),
+    ]
+    if emit_bases:
+        out_specs.append(
+            pl.BlockSpec((rb, 128), lambda r, i: (r, i),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((hpad, ni * 128), jnp.int32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -1868,16 +1936,8 @@ def _row_minima_stack(
             pl.BlockSpec((rb, n, w1pad), lambda r, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((hpad, ni, tile_i), out_dtype),
-            jax.ShapeDtypeStruct((hpad, ni, tile_i), out_dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((rb, bpad, w1pad), b_dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1889,6 +1949,15 @@ def _row_minima_stack(
             transcendentals=0,
         ),
     )(cxj, cyj, st0, st1)
+    if emit_bases:
+        mf, ml, braw = outs
+        # Lanes [0, tile_i/bchunk) of each tile's 128-lane block hold the
+        # per-256-column bases; compact to (hpad, ni * tile_i / bchunk).
+        nh = tile_i // bases[0]
+        braw = braw.reshape(hpad, ni, 128)[:, :, :nh].reshape(hpad, ni * nh)
+    else:
+        mf, ml = outs
+        braw = None
 
     # No cost surface: the fused path never materializes pop(a), and no
     # production consumer needs the raw Hamming cost (search.py uses only
@@ -1901,7 +1970,7 @@ def _row_minima_stack(
             last = (pack_s - 1) - (ml & jnp.int32(pack_s - 1))
         else:
             last = None
-        return None, first, last
+        return None, first, last, braw
     sf = jnp.floor(mf / pack_s)
     first = (mf - sf * pack_s).astype(jnp.int32)
     if need_last:
@@ -1910,7 +1979,7 @@ def _row_minima_stack(
         last = (pack_s - 1) - (ml - sl * pack_s).astype(jnp.int32)
     else:
         last = None
-    return None, first, last
+    return None, first, last, braw
 
 
 @functools.partial(
@@ -2060,12 +2129,19 @@ def row_minima_stack(
     engine: str | None = None,
     reduce: bool | None = None,
     rows: int | None = None,
+    bases: tuple = (),
 ):
     """Fused transform+search surface: raw (n, H, W) u8/u16 stacks in,
     packed-argmin columns out. Raises ValueError for LIMITED n<4 (constant
     descriptor bit — see :func:`..descriptor.compare_coeffs`); callers
     fall back to the words path. ``rows`` (default ``BICOS_SEARCH_ROWS``)
-    batches image rows per grid step."""
+    batches image rows per grid step.
+
+    ``bases=(chunk, wcap, wp)`` additionally emits the agree stage's
+    dynamic-window bases from the kernel epilogue (bf16 engine,
+    ``tile_i % chunk == 0`` only; see ``_minima_kernel_bf16_stack``) and
+    returns a 4-tuple ``(cost, first, last, bases_(h_pad, >=wp/chunk))`` —
+    the bases array is padded on both axes; callers slice."""
     _, h, w0 = stack0.shape
     w1 = stack1.shape[2]
     pack_s, _ = pack_for_width(max(w0, w1))
@@ -2075,7 +2151,7 @@ def row_minima_stack(
         tile_i = min(tile_i, max(128, ((w0 + 127) // 128) * 128))
     else:
         tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
-    return _row_minima_stack(
+    out = _row_minima_stack(
         stack0,
         stack1,
         mode=mode,
@@ -2087,7 +2163,9 @@ def row_minima_stack(
         reduce=DEFAULT_REDUCE if reduce is None else reduce,
         rows=rows,
         pack_s=pack_s,
+        bases=bases,
     )
+    return out if bases else out[:3]
 
 
 def row_minima_consistency_stack(

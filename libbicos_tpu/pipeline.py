@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from . import agree as _agree
 from . import descriptor as _descriptor
 from . import search as _search
-from .config import Config, TransformMode, validate_stack
+from .config import Config, NoDuplicates, Precision, TransformMode, \
+    validate_stack
 
 
 def _validate_inputs(stack0, stack1):
@@ -47,20 +48,57 @@ def _validate_inputs(stack0, stack1):
         )
 
 
+def _agree_bases_params(stack0, cfg: Config, backend: str):
+    """(chunk, wcap, wp) when the downstream fused-agree call will run the
+    mxu dynamic window — i.e. when the search kernel should emit the agree
+    bases from its epilogue (the external computation measured +17 ms/frame;
+    see kernels/agree.AGREE_BASES). None otherwise. Must mirror
+    ``_agree_call``'s own resolution exactly."""
+    if backend not in ("pallas", "pallas_interpret"):
+        return None
+    if cfg.nxcorr_threshold is None or cfg.precision != Precision.SINGLE:
+        return None
+    from .kernels import agree as _ka
+
+    n, _, w = stack0.shape
+    u16 = stack0.dtype == jnp.uint16
+    gather, _ = _ka._resolve_gather(n, cfg.subpixel_step is not None, u16)
+    if gather != "mxu":
+        return None
+    chunk, wcap = _ka.resolve_chunk_wcap(gather, w)
+    if not wcap:
+        return None
+    wp = w + ((-w) % chunk)
+    return chunk, wcap, wp
+
+
 def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
     n = stack0.shape[0]
     from .config import actual_bits
 
     nbits = actual_bits(n, cfg.mode)
+    search_bases = None
     if _search.fused_stack_search_ok(
             cfg.mode, n, backend, stack0.shape[2]):
         # Fused transform+search kernel: descriptor bits are computed
         # ON-CHIP from compare-coefficient MXU contractions
         # (descriptor.compare_coeffs / kernels/hamming.py) — the separate
         # transform pass and its packed-words HBM round-trip disappear.
-        disp = _search.search_stack(
-            stack0, stack1, cfg.mode, cfg.variant, backend=backend
-        )
+        bparams = (_agree_bases_params(stack0, cfg, backend)
+                   if isinstance(cfg.variant, NoDuplicates) else None)
+        if bparams is not None:
+            # The search kernel also emits the agree stage's dynamic-window
+            # bases from its epilogue (search_bases is None when the kernel
+            # configuration cannot, and the agree wrapper computes them).
+            disp, search_bases = _search.search_stack_nodupes_with_bases(
+                stack0, stack1, cfg.mode,
+                chunk=bparams[0], wcap=bparams[1], wp=bparams[2],
+                backend=backend,
+            )
+        else:
+            disp = _search.search_stack(
+                stack0, stack1, cfg.mode, cfg.variant, backend=backend
+            )
     elif backend in ("pallas", "pallas_interpret") and n < 10:
         # For small stacks XLA's rematerializer slices the transform's
         # temporal planes into (H, W, 1) buffers with a 128x-padded layout
@@ -107,6 +145,7 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
             disp, stack0, stack1, cfg.nxcorr_threshold,
             cfg.subpixel_step, minvar,
             interpret=(backend == "pallas_interpret"),
+            bases=search_bases,
         )
         if cfg.subpixel_step is not None:
             out = out_f

@@ -342,6 +342,53 @@ def fused_stack_search_ok(
     return not (mode == TransformMode.LIMITED and n < 4)
 
 
+def search_stack_nodupes_with_bases(
+    stack0, stack1, mode, *, chunk: int, wcap: int, wp: int,
+    backend: str = "auto",
+):
+    """NoDuplicates fused search that ALSO returns the agree stage's
+    dynamic-window bases, emitted from the search kernel's epilogue.
+
+    Returns ``(disparity, bases)`` where ``bases`` is the
+    ``kernels.agree._chunk_window_bases`` array (``(pad(H, 8), wp/chunk)``
+    int32, base or -1 per (row, chunk)) — bit-equal by construction (the
+    NoDuplicates keep mask is ``first == last`` and a kept pixel's matched
+    column IS the first argmin) — or None when the fused kernel cannot
+    emit them (non-pallas backend, snapped tiles, i8 engine, pack width).
+    Why in-kernel: any implementation that computes these values from the
+    decoded disparity BETWEEN the kernels measured +17 ms/frame on the
+    fused pipeline (bench/logs/r3/probe_chained_compose_stale*.log);
+    emitted from registers the kernel already holds, they are free.
+    """
+    n, h, w0 = stack0.shape
+    backend = resolve_backend(backend)
+    if not fused_stack_search_ok(mode, n, backend, max(w0, stack1.shape[2])):
+        from .descriptor import descriptor_words
+        from .config import actual_bits
+
+        disp = search_words(
+            descriptor_words(stack0, mode, min_words=2),
+            descriptor_words(stack1, mode, min_words=2),
+            actual_bits(n, mode), NoDuplicates(), backend,
+        )
+        return disp, None
+    from .kernels.hamming import row_minima_stack
+
+    _, first, last, braw = row_minima_stack(
+        stack0, stack1, mode=mode, need_last=True,
+        interpret=(backend == "pallas_interpret"),
+        bases=(chunk, wcap, wp),
+    )
+    disp = _finish_nodupes(first, last, w0)
+    if braw is None:
+        return disp, None
+    hp = h + ((-h) % 8)  # agree kernel ROW_BATCH padding
+    nc = wp // chunk
+    if braw.shape[0] != hp or braw.shape[1] < nc:
+        return disp, None
+    return disp, braw[:, :nc]
+
+
 def search_stack(
     stack0, stack1, mode, variant: SearchVariant, backend: str = "auto"
 ):

@@ -297,15 +297,16 @@ def test_agree_kernel_window_u16_subpixel(rng, monkeypatch):
 
 
 def test_agree_gather_resolution():
-    """auto is variant-aware (measured): both u8 variants take the
-    full-width mxu gather (with the auto dynamic window) for 3n <= 128,
-    then window, then shuffle; u16 prefers window throughout."""
+    """auto is variant-aware (measured, artifact-free r4 numbers): u8
+    subpixel takes the full-width mxu gather once the window needs
+    multiple slices; the integer variant and u16 prefer the window gather
+    at every n it supports; shuffle past every budget."""
     from libbicos_tpu.kernels.agree import _resolve_gather
 
     assert _resolve_gather(33, True)[0] == "mxu"
-    assert _resolve_gather(33, False)[0] == "mxu"
-    # small-n integer: the one-slice window dot beats the n-independent
-    # mxu dot (integration n=8/12 measurements, 2026-08-20)
+    # integer prefers window at every measured n (62.9 vs full-width
+    # mxu's 70.1 at n=33; 42.4 vs ~56 at n=8 — 2026-08-20)
+    assert _resolve_gather(33, False)[0] == "window"
     assert _resolve_gather(16, False)[0] == "window"
     assert _resolve_gather(8, False)[0] == "window"
     assert _resolve_gather(8, True)[0] == "window"  # 8*16 lanes = 1 slice
