@@ -52,11 +52,19 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev} platform={dev.platform} H={h}", file=sys.stderr)
 
+    # BICOS_PROBE_VARIANT: nodupes (default) | consistency | cons_nodupes
+    vname = os.environ.get("BICOS_PROBE_VARIANT", "nodupes")
+    variant = {
+        "nodupes": bicos.NoDuplicates(),
+        "consistency": bicos.Consistency(max_lr_diff=1, no_dupes=False),
+        "cons_nodupes": bicos.Consistency(max_lr_diff=1, no_dupes=True),
+    }[vname]
     cfg = bicos.Config(
         nxcorr_threshold=0.96,
         subpixel_step=0.1,
         min_variance=2.0,
         mode=bicos.TransformMode.LIMITED,
+        variant=variant,
     )
 
     s0, s1, _ = synthetic_stack_pair(n, h, w, dtype=np.uint8)
@@ -253,8 +261,9 @@ def main():
     t_r2 = run(r2)
     per_iter = (t_r2 - t_r1) / (r2 - r1)
     overhead = t_r1 - per_iter * r1
+    vtag = "" if vname == "nodupes" else f"_{vname}"
     print(json.dumps({
-        "metric": f"{stage}_headline_device_only_H{h}_n{n}_w{w}_ms",
+        "metric": f"{stage}{vtag}_headline_device_only_H{h}_n{n}_w{w}_ms",
         "value": round(per_iter, 2),
         "fixed_call_overhead_ms": round(overhead, 2),
         "t_r1_ms": round(t_r1, 2), "t_r2_ms": round(t_r2, 2),

@@ -964,7 +964,7 @@ def _consistency_kernel_bf16_stack(
                   + (jnp.float32(pack_s - 1) - row0.astype(jnp.float32))
                   + rowpen)
 
-        def chunk(j, accf, accl, r=r, a_f=a_f,
+        def chunk(j, accf, accl, masked, r=r, a_f=a_f,
                   radd_f=radd_f, radd_l=radd_l):
             b_tile = b_scratch[r, :, pl.ds(j * tile_j, tile_j)]
             dn = (((1,), (0,)), ((), ()))
@@ -976,24 +976,35 @@ def _consistency_kernel_bf16_stack(
                 jnp.int32, (1, tile_j), 1
             )
             colf = colv.astype(jnp.float32)
-            # The reverse direction needs pure s*pack_s — derived from the
-            # SAME dot by subtracting the column broadcast (both exact f32
-            # integers), instead of the second bits-only contraction this
-            # kernel used to issue: halves the MXU work per chunk.
-            dots = dotf - colf
-            pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
-            accf = jnp.minimum(accf, dotf + pen)
+            # Steady-state chunks (all columns < w1, the peeled fast loop
+            # below) skip the padding-penalty add — one fewer full
+            # (TILE_I, TILE_J) VPU pass per chunk, like the NoDuplicates
+            # sweep's peel.
+            pen = (jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
+                   if masked else None)
+            accf = jnp.minimum(accf, dotf + pen if masked else dotf)
             if no_dupes:
-                cvec = (jnp.float32(pack_s - 1) - 2.0 * colf) + pen
+                cvec = jnp.float32(pack_s - 1) - 2.0 * colf
+                if masked:
+                    cvec = cvec + pen
                 accl = jnp.minimum(accl, dotf + cvec)
-            rev_f = jnp.min(dots + radd_f, axis=0, keepdims=True)  # (1,TJ)
+            # The reverse direction needs pure s*pack_s — derived from the
+            # SAME dot (instead of a second bits-only contraction: halves
+            # the MXU work), and the column subtraction commutes out of
+            # the row reduction: min_rows(dotf - colf + radd) ==
+            # min_rows(dotf + radd) - colf (all exact f32 integers), so
+            # the (TILE_I, TILE_J) ``dots`` materialization pass
+            # disappears — colf is subtracted from the (1, TJ) reduced
+            # vector instead.
+            rev_f = jnp.min(dotf + radd_f, axis=0, keepdims=True) - colf
             js = pl.ds(j * tile_j, tile_j)
             sb = 2 * r
             rev_scratch[sb:sb + 1, js] = jnp.minimum(
                 rev_scratch[sb:sb + 1, js], rev_f
             )
             if no_dupes:
-                rev_l = jnp.min(dots + radd_l, axis=0, keepdims=True)
+                rev_l = (jnp.min(dotf + radd_l, axis=0, keepdims=True)
+                         - colf)
                 rev_scratch[sb + 1:sb + 2, js] = jnp.minimum(
                     rev_scratch[sb + 1:sb + 2, js], rev_l
                 )
@@ -1003,8 +1014,11 @@ def _consistency_kernel_bf16_stack(
             (tile_i, tile_j), jnp.float32(ACC_INIT), jnp.float32
         )
         accf, accl = init, init
-        for j in range(nj):
-            accf, accl = chunk(j, accf, accl)
+        nj_fast = min(w1 // tile_j, nj)
+        for j in range(nj_fast):
+            accf, accl = chunk(j, accf, accl, False)
+        for j in range(nj_fast, nj):
+            accf, accl = chunk(j, accf, accl, True)
 
         outf_ref[r, i, :] = jnp.min(accf, axis=1)
         outl_ref[r, i, :] = (jnp.min(accl, axis=1) if no_dupes
@@ -1202,7 +1216,7 @@ def _consistency_kernel(
                   + (jnp.float32(pack_s - 1) - row0.astype(jnp.float32))
                   + rowpen)
 
-        def chunk(j, accf, accl, r=r, a_f=a_f,
+        def chunk(j, accf, accl, masked, r=r, a_f=a_f,
                   radd_f=radd_f, radd_l=radd_l):
             b_tile = b_scratch[r, pl.ds(j * tile_j, tile_j), :]
             dn = (((1,), (1,)), ((), ()))
@@ -1214,25 +1228,31 @@ def _consistency_kernel(
                 jnp.int32, (1, tile_j), 1
             )
             colf = colv.astype(jnp.float32)
-            # Pure s*pack_s for the reverse direction, derived from the
-            # SAME dot by subtracting the column broadcast (exact f32
-            # integers) — replaces the second bits-only contraction this
-            # kernel used to issue per chunk: halves the MXU work.
-            dots = dotf - colf
-            pen = jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
-            accf = jnp.minimum(accf, dotf + pen)
+            # Steady-state chunks (peeled loop below) skip the pad-penalty
+            # add; the reverse direction's pure s*pack_s is derived from
+            # the SAME dot (halving the MXU work vs a second contraction)
+            # with the column subtraction commuted OUT of the row
+            # reduction — min_rows(dotf - colf + radd) ==
+            # min_rows(dotf + radd) - colf on exact f32 integers — so the
+            # (TILE_I, TILE_J) ``dots`` pass disappears.
+            pen = (jnp.where(colv >= w1, jnp.float32(PAD_PENALTY), 0.0)
+                   if masked else None)
+            accf = jnp.minimum(accf, dotf + pen if masked else dotf)
             if no_dupes:
-                cvec = (jnp.float32(pack_s - 1) - 2.0 * colf) + pen
+                cvec = jnp.float32(pack_s - 1) - 2.0 * colf
+                if masked:
+                    cvec = cvec + pen
                 accl = jnp.minimum(accl, dotf + cvec)
             # Reverse: min over rows of (ham*8192 + col0) per right column.
-            rev_f = jnp.min(dots + radd_f, axis=0, keepdims=True)  # (1,TJ)
+            rev_f = jnp.min(dotf + radd_f, axis=0, keepdims=True) - colf
             js = pl.ds(j * tile_j, tile_j)
             sb = 2 * r
             rev_scratch[sb:sb + 1, js] = jnp.minimum(
                 rev_scratch[sb:sb + 1, js], rev_f
             )
             if no_dupes:
-                rev_l = jnp.min(dots + radd_l, axis=0, keepdims=True)
+                rev_l = (jnp.min(dotf + radd_l, axis=0, keepdims=True)
+                         - colf)
                 rev_scratch[sb + 1:sb + 2, js] = jnp.minimum(
                     rev_scratch[sb + 1:sb + 2, js], rev_l
                 )
@@ -1242,8 +1262,11 @@ def _consistency_kernel(
             (tile_i, tile_j), jnp.float32(ACC_INIT), jnp.float32
         )
         accf, accl = init, init
-        for j in range(nj):
-            accf, accl = chunk(j, accf, accl)
+        nj_fast = min(w1 // tile_j, nj)
+        for j in range(nj_fast):
+            accf, accl = chunk(j, accf, accl, False)
+        for j in range(nj_fast, nj):
+            accf, accl = chunk(j, accf, accl, True)
 
         outf_ref[r, i, :] = jnp.min(accf, axis=1)
         outl_ref[r, i, :] = (jnp.min(accl, axis=1) if no_dupes
