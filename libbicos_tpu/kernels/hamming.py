@@ -1703,6 +1703,195 @@ def row_minima_words_band(
     return mf, ml
 
 
+def _minima_kernel_band_stack(
+    off_ref,  # (1,) i32 in SMEM — visiting band's global column offset
+    cx_ref,  # (BPAD, n) bf16 — compare coefficients (X side)
+    cy_ref,  # (BPAD, n) bf16 — compare coefficients (Y side)
+    s0_ref,  # (RB, n, TILE_I) raw left samples for this tile
+    s1_ref,  # (RB, n, BANDPAD) raw right BAND samples
+    outf_ref,  # (RB, NI, TILE_I) f32 — packed first-minima (global cols)
+    outl_ref,  # (RB, NI, TILE_I) f32 — packed last-minima
+    b_scratch,  # (RB, BPAD, BANDPAD) bf16 — on-chip bits + col rows
+    *,
+    nbits: int,
+    band: int,
+    bandpad: int,
+    w1_total: int,
+    tile_j: int,
+    need_last: bool,
+    u16: bool,
+    pack_s: int = PACK_S,
+):
+    """FUSED transform + W-band scan: the ``ppermute`` ring rotates RAW
+    image bands and each visit computes the descriptor bits ON-CHIP from
+    the compare-coefficient contractions (``_encode_b_bf16_stack``) —
+    replacing :func:`_minima_kernel_band`'s per-visit uint32 unpack, the
+    words path's dominant VPU cost (the single-chip fused-vs-words gap is
+    89 vs 134 ms for the same reason). Packing/penalty structure is
+    identical to the words band kernel: global-column packings so ring
+    steps fold with one elementwise min."""
+    i = pl.program_id(1)
+    off = off_ref[0]
+    rb = s0_ref.shape[0]
+    tile_i = s0_ref.shape[2]
+    cxb = cx_ref[...]
+    cyb = cy_ref[...]
+
+    @pl.when(i == 0)
+    def _():
+        def write_seg(k):
+            for r in range(rb):
+                seg = s1_ref[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
+                b_scratch[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
+                    _encode_b_bf16_stack(
+                        seg, cxb, cyb, nbits, off + k * UNPACK_SEG, u16
+                    )
+                )
+
+        _encode_b_segments(b_scratch, bandpad, write_seg)
+
+    nj = bandpad // tile_j
+    shift = pack_s.bit_length() - 1
+    for r in range(rb):
+        a_f = _encode_a_bf16_stack(
+            s0_ref[r], cxb, cyb, nbits, u16, extras=True, shift=shift
+        )
+        init = jnp.full((tile_i, tile_j), jnp.float32(ACC_INIT),
+                        jnp.float32)
+        accf, accl = init, init
+        for j in range(nj):
+            b_tile = b_scratch[r, :, pl.ds(j * tile_j, tile_j)]
+            dotf = jax.lax.dot_general(
+                a_f, b_tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TILE_I, TILE_J) = s*pack_s + col_global
+            lcol = j * tile_j + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile_j), 1)
+            gcol = off + lcol
+            pen = (jnp.where(lcol >= band, jnp.float32(PAD_PENALTY), 0.0)
+                   + jnp.where(gcol >= w1_total,
+                               jnp.float32(PAD_PENALTY), 0.0))
+            accf = jnp.minimum(accf, dotf + pen)
+            if need_last:
+                cvec = (jnp.float32(pack_s - 1)
+                        - 2.0 * gcol.astype(jnp.float32))
+                accl = jnp.minimum(accl, dotf + cvec + pen)
+        outf_ref[r, i, :] = jnp.min(accf, axis=1)
+        outl_ref[r, i, :] = (jnp.min(accl, axis=1) if need_last
+                             else jnp.zeros((tile_i,), jnp.float32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mode", "w1_total", "need_last", "tile_i", "tile_j", "interpret",
+        "rows",
+    ),
+)
+def row_minima_stack_band(
+    stack0_band,
+    stack1_band,
+    col_off,
+    *,
+    mode,
+    w1_total: int,
+    need_last: bool,
+    tile_i: int = DEF_TILE_I,
+    tile_j: int = DEF_TILE_J,
+    interpret: bool = False,
+    rows: int = 0,
+):
+    """Fused transform + band scan from RAW ``(n, H, band)`` stacks (the
+    W-band ring's fused engine — see :func:`_minima_kernel_band_stack`).
+
+    Same contract as :func:`row_minima_words_band` (raw f32 global-column
+    packings, fold with ``jnp.minimum``, decode once after the ring), but
+    descriptors never materialize: both sides encode on-chip. Raises
+    ValueError for LIMITED n < 4 (constant descriptor bit) — callers fall
+    back to the words ring."""
+    from ..config import actual_bits
+
+    n, h, w0 = stack0_band.shape
+    band = stack1_band.shape[2]
+    nbits = actual_bits(n, mode)
+    pack_s, _ = pack_for_width(w1_total)
+    if not rows and pack_s != PACK_S:
+        rows = min(SEARCH_ROWS, 4)
+    rows = rows or SEARCH_ROWS
+    tile_i = min(tile_i, max(128, ((w0 + 127) // 128) * 128))
+    st0, st1 = _prep_stack_operands(stack0_band, stack1_band, tile_i, tile_j)
+    rb = max(1, min(rows, h))
+    st0 = _pad_axis(st0, 0, rb)
+    st1 = _pad_axis(st1, 0, rb)
+    hpad = st0.shape[0]
+    w0pad, bandpad = st0.shape[2], st1.shape[2]
+    ni = w0pad // tile_i
+    bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+    cxp, cyp, _ = _padded_coeffs(n, mode, bpad)
+    u16 = stack0_band.dtype == jnp.uint16
+
+    kernel = functools.partial(
+        _minima_kernel_band_stack,
+        nbits=nbits,
+        band=band,
+        bandpad=bandpad,
+        w1_total=w1_total,
+        tile_j=tile_j,
+        need_last=need_last,
+        u16=u16,
+        pack_s=pack_s,
+    )
+    off_arr = jnp.asarray(col_off, jnp.int32).reshape(1)
+    cxj = jnp.asarray(cxp, jnp.bfloat16)
+    cyj = jnp.asarray(cyp, jnp.bfloat16)
+    grid = (hpad // rb, ni)
+    mf, ml = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, n, tile_i), lambda r, i: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, n, bandpad), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), jnp.float32),
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((rb, bpad, bandpad), jnp.bfloat16)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * hpad * w0pad * bandpad * bpad
+                   * (2 if need_last else 1)),
+            bytes_accessed=(hpad * (w0pad + bandpad) * n
+                            + hpad * w0pad * 8),
+            transcendentals=0,
+        ),
+    )(off_arr, cxj, cyj, st0, st1)
+
+    mf = mf.reshape(hpad, w0pad)[:h, :w0]
+    if need_last:
+        ml = ml.reshape(hpad, w0pad)[:h, :w0]
+    else:
+        ml = None
+    return mf, ml
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

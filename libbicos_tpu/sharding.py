@@ -264,20 +264,39 @@ def _wband_run(mesh: Mesh, axis_name: str, cfg: Config, backend: str,
         isinstance(variant, Consistency) and variant.no_dupes
     )
 
+    fused = (backend in ("pallas", "pallas_interpret")
+             and _search.fused_stack_search_ok(cfg.mode, n, backend, w))
+
     def shard_fn(s0_local, s1_local):
         idx = jax.lax.axis_index(axis_name)
         col0 = idx * band + jnp.arange(band, dtype=jnp.int32)[None, :]
-        bits0 = _descriptor.descriptor_bits(s0_local, cfg.mode)
-        bits1 = _descriptor.descriptor_bits(s1_local, cfg.mode)
-        # padded left columns produce garbage rows; masked out at the end.
-        _, first0, last0 = _ring_minima(
-            bits0, bits1, nodupes, axis_name, ndev, band, w, backend)
+        if fused:
+            # FUSED ring: rotate RAW image bands and transform on-chip
+            # inside the band kernel (kernels.hamming
+            # _minima_kernel_band_stack) — the words ring's per-visit
+            # uint32 unpack (its dominant VPU cost) and the XLA descriptor
+            # transform both disappear.
+            first0, last0 = _ring_firstlast_stack(
+                s0_local, s1_local, nodupes, axis_name, ndev, band, w,
+                cfg.mode, backend)
+        else:
+            bits0 = _descriptor.descriptor_bits(s0_local, cfg.mode)
+            bits1 = _descriptor.descriptor_bits(s1_local, cfg.mode)
+            # padded left cols produce garbage rows; masked out at the end.
+            _, first0, last0 = _ring_minima(
+                bits0, bits1, nodupes, axis_name, ndev, band, w, backend)
         if isinstance(variant, NoDuplicates):
             valid = first0 == last0
             disp = col0 - first0
         else:
-            _, first1, last1 = _ring_minima(
-                bits1, bits0, nodupes, axis_name, ndev, band, w, backend)
+            if fused:
+                first1, last1 = _ring_firstlast_stack(
+                    s1_local, s0_local, nodupes, axis_name, ndev, band, w,
+                    cfg.mode, backend)
+            else:
+                _, first1, last1 = _ring_minima(
+                    bits1, bits0, nodupes, axis_name, ndev, band, w,
+                    backend)
             # Reverse results live on the band owning each right column;
             # gather them globally for the cross-band lookup at best_col1.
             f1g = jax.lax.all_gather(
@@ -419,6 +438,56 @@ def _ring_minima(bits0, bits1, need_last, axis_name, ndev, band, w,
     mf, ml = _ring_minima_packed(
         bits0, bits1, need_last, axis_name, ndev, band, w, backend)
     return _search.decode_packed_minima(mf, ml, w, need_last)
+
+
+def _ring_firstlast_stack(s0_local, s1_local, need_last, axis_name, ndev,
+                          band, w, mode, backend):
+    """FUSED transform + ring reduction over RAW image bands.
+
+    The ring rotates the raw ``(n, H, band)`` right stack band (for u8
+    n=33 that is ~2x the packed-words ICI payload, but ICI is not the
+    bottleneck) and each visit runs the fused band kernel
+    (``kernels.hamming.row_minima_stack_band``): descriptor bits come from
+    on-chip compare-coefficient contractions, eliminating both the XLA
+    descriptor transform and the words kernel's per-visit uint32 unpack
+    (the single-chip fused-vs-words gap, 89 vs 134 ms). Returns decoded
+    ``(first, last)`` argmin columns directly — the packed s-values are
+    comparable across bands because ``s = ham - pop(query)`` and the query
+    popcount is constant along each row's reduction; no consumer needs the
+    raw cost, so the pop re-pack of the words path is skipped.
+    """
+    from .kernels.hamming import pack_for_width, row_minima_stack_band
+
+    h = s0_local.shape[1]
+    w0b = s0_local.shape[2]
+    idx = jax.lax.axis_index(axis_name)
+    perm = [((d + 1) % ndev, d) for d in range(ndev)]
+    pack_s, _ = pack_for_width(w)
+    interpret = backend == "pallas_interpret"
+
+    def step(i, carry):
+        mf, ml, cur = carry
+        src = jax.lax.rem(idx + i, ndev)
+        mfs, mls = row_minima_stack_band(
+            s0_local, cur, src * band, mode=mode, w1_total=w,
+            need_last=need_last, interpret=interpret,
+        )
+        mf = jnp.minimum(mf, mfs)
+        if need_last:
+            ml = jnp.minimum(ml, mls)
+        nxt = jax.lax.ppermute(cur, axis_name, perm=perm)
+        return mf, ml, nxt
+
+    bigf = jnp.full((h, w0b), jnp.float32(1 << 24))
+    mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (bigf, bigf, s1_local))
+    s = jnp.floor(mf / pack_s)
+    first = (mf - s * pack_s).astype(jnp.int32)
+    if need_last:
+        sl = jnp.floor(ml / pack_s)
+        last = (pack_s - 1) - (ml - sl * pack_s).astype(jnp.int32)
+    else:
+        last = None
+    return first, last
 
 
 def _agree_banded(disp, stack0_local, stack1_full, col0, cfg: Config, minvar):
