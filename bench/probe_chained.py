@@ -59,12 +59,19 @@ def main():
         "consistency": bicos.Consistency(max_lr_diff=1, no_dupes=False),
         "cons_nodupes": bicos.Consistency(max_lr_diff=1, no_dupes=True),
     }[vname]
+    # BICOS_PROBE_DRANGE: "MIN:MAX" -> Config.disparity_range
+    dr_env = os.environ.get("BICOS_PROBE_DRANGE", "")
+    drange = None
+    if dr_env:
+        lo, _, hi = dr_env.partition(":")
+        drange = (int(lo), int(hi))
     cfg = bicos.Config(
         nxcorr_threshold=0.96,
         subpixel_step=0.1,
         min_variance=2.0,
         mode=bicos.TransformMode.LIMITED,
         variant=variant,
+        disparity_range=drange,
     )
 
     s0, s1, _ = synthetic_stack_pair(n, h, w, dtype=np.uint8)
@@ -262,6 +269,8 @@ def main():
     per_iter = (t_r2 - t_r1) / (r2 - r1)
     overhead = t_r1 - per_iter * r1
     vtag = "" if vname == "nodupes" else f"_{vname}"
+    if drange is not None:
+        vtag += f"_dr{drange[0]}_{drange[1]}"
     print(json.dumps({
         "metric": f"{stage}{vtag}_headline_device_only_H{h}_n{n}_w{w}_ms",
         "value": round(per_iter, 2),

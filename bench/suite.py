@@ -261,6 +261,32 @@ def main():
                   lambda k: (jax.block_until_ready(d0 ^ np.uint8(k)), d1),
                   reps, mp)
 
+    # --- u16 integration (VERDICT r4 task 6: the u16 path is validated
+    # bit-identical on hardware but had no production-scale latency row;
+    # reference microbenches cover u16, bench/cuda.cu:99-180). Headline
+    # LIMITED n=33 and a FULL n=12 row.
+    for n, mode, step in ([(6, TransformMode.FULL, 0)] if args.quick else
+                          [(33, TransformMode.LIMITED, 0.1),
+                           (33, TransformMode.LIMITED, 0),
+                           (12, TransformMode.FULL, 0)]):
+        name = (f"integration_u16_n{n}_"
+                f"{'limited' if mode == TransformMode.LIMITED else 'full'}"
+                f"_step{step}")
+        if not want(name):
+            continue
+        s0, s1, _ = synthetic_stack_pair(n, h, w, dtype=np.uint16)
+        d0, d1 = jnp.asarray(s0), jnp.asarray(s1)
+        cfg = bicos.Config(
+            nxcorr_threshold=0.96 if n == 33 else 0.9,
+            subpixel_step=step or None,
+            min_variance=2.0 if n == 33 else None,
+            mode=mode,
+        )
+        fn = lambda a, b, c=cfg: bicos.match(a, b, c, backend=backend)
+        bench(name, fn,
+              lambda k: (jax.block_until_ready(d0 ^ np.uint16(k)), d1),
+              reps, mp)
+
 
 if __name__ == "__main__":
     main()

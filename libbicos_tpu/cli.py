@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dump-descriptors", default=None, metavar="NPZ",
                    help="Also write both stacks' packed descriptor words "
                         "to NPZ (debug artifact; keys words0/words1).")
+    p.add_argument("--disp-range", default=None, metavar="MIN:MAX",
+                   help="Restrict matching to disparities in the inclusive "
+                        "range MIN:MAX (TPU-native extension; the reference "
+                        "always scans the full row). Pixels without an "
+                        "in-range candidate become invalid; with the "
+                        "default NoDuplicates variant this also unlocks the "
+                        "compile-time-window fast path.")
     return p
 
 
@@ -144,6 +151,15 @@ def config_from_args(args) -> Config:
                 "'no-dupes' is the default when 'lr-maxdiff' is not set.",
                 file=sys.stderr,
             )
+    drange = None
+    if getattr(args, "disp_range", None):
+        try:
+            lo, _, hi = args.disp_range.partition(":")
+            drange = (int(lo), int(hi))
+        except ValueError:
+            raise SystemExit(
+                f"--disp-range expects MIN:MAX integers, got "
+                f"{args.disp_range!r}")
     return Config(
         nxcorr_threshold=threshold,
         subpixel_step=args.step,
@@ -151,6 +167,7 @@ def config_from_args(args) -> Config:
         mode=TransformMode.LIMITED if args.limited else TransformMode.FULL,
         precision=Precision.DOUBLE if args.double else Precision.SINGLE,
         variant=variant,
+        disparity_range=drange,
     )
 
 

@@ -65,7 +65,20 @@ SearchVariant = Union[NoDuplicates, Consistency]
 @dataclasses.dataclass(frozen=True)
 class Config:
     """Matching configuration; defaults equal the reference library defaults
-    (``common.hpp:73-82``)."""
+    (``common.hpp:73-82``).
+
+    ``disparity_range`` is a TPU-native EXTENSION the reference lacks
+    (its scan is always full-width, ``bicos.hpp:54``): an inclusive
+    ``(dmin, dmax)`` bound on the disparity ``d = col0 - col1``. The
+    search argmin (and the Consistency reverse search) is restricted to
+    in-range candidates; a pixel with no in-range candidate is invalid.
+    This is the standard production-stereo contract (rectified rigs have
+    a known depth bracket) and unlocks the compile-time-window fast path:
+    with a static range every column window in the search and agree
+    kernels becomes a compile-time constant — no data-dependent branches
+    (see BASELINE.md "The dynamic-window artifact" for why that matters).
+    ``None`` (default) keeps exact reference semantics.
+    """
 
     nxcorr_threshold: Optional[float] = 0.5
     subpixel_step: Optional[float] = None
@@ -73,10 +86,20 @@ class Config:
     mode: TransformMode = TransformMode.LIMITED
     precision: Precision = Precision.SINGLE
     variant: SearchVariant = NoDuplicates()
+    disparity_range: Optional[tuple] = None
 
     def __post_init__(self):
         if self.subpixel_step is not None and self.subpixel_step <= 0:
             raise ValueError("subpixel_step must be positive")
+        if self.disparity_range is not None:
+            dr = self.disparity_range
+            if (len(dr) != 2 or not all(isinstance(v, int) for v in dr)
+                    or dr[0] > dr[1]):
+                raise ValueError(
+                    "disparity_range must be an int (dmin, dmax) with "
+                    f"dmin <= dmax, got {dr!r}")
+            # Normalize to a plain tuple so Config stays hashable/static.
+            object.__setattr__(self, "disparity_range", (dr[0], dr[1]))
 
 
 # Invalid disparity sentinels (common.hpp:34-37).

@@ -467,6 +467,7 @@ def _agree_kernel(
     mxu_gather: bool,
     inkernel_bases: bool = False,
     deferred: bool = False,  # branchless windowed dots + deferred repair
+    static_bases: tuple = (),  # per-chunk COMPILE-TIME window bases
     interpret: bool = False,
 ):
     nblk = wp // BLK
@@ -610,7 +611,24 @@ def _agree_kernel(
                     # directly measured 25% slower end-to-end: the sweep's
                     # per-shot middle-axis slices relayout worse than one
                     # chunk transpose.)
-                    if wcap and AGREE_DIAG == "staticwin":
+                    if static_bases:
+                        # Disparity-range mode (Config.disparity_range):
+                        # the window base is a COMPILE-TIME constant
+                        # derived from the static range, so the slice and
+                        # one-hot offsets are literals — no bases operand,
+                        # no scalar reads, no branches (the 89.4 ms class
+                        # the runtime dynamic window could never reach;
+                        # BASELINE.md "The dynamic-window artifact").
+                        # Valid pixels are in-window BY CONSTRUCTION
+                        # (search guarantees d in range); invalid pixels
+                        # gather garbage through an all-false one-hot,
+                        # masked by ``keep`` downstream.
+                        bal = static_bases[oc]
+                        oh = widx == (col1c[r:r + 1, cs] - bal)
+                        g = gather_dot(
+                            oh, bt_scratch[:, bal:bal + wcap])
+                        store_g(r, cs, g, byte)
+                    elif wcap and AGREE_DIAG == "staticwin":
                         # TIMING-ONLY: compile-time window at the chunk's
                         # own aligned offset (see AGREE_DIAG).
                         bal = min(oc * chunk, wp - wcap) & ~127
@@ -660,7 +678,7 @@ def _agree_kernel(
                         oh = cidx == col1c[r:r + 1, cs]
                         g = gather_dot(oh, bt_scratch[...])
                         store_g(r, cs, g, byte)
-        if wcap and deferred:
+        if wcap and deferred and not static_bases:
             # Deferred exact repair, AFTER the whole gather phase so the
             # encode (VPU) / dot (MXU) streaming above never meets control
             # flow: one dynamic-bound loop per row walks the COMPACTED
@@ -959,18 +977,52 @@ def resolve_chunk_wcap(gather: str, w: int):
 
 
 
+def _static_window(chunk: int, wp: int, w: int, drange, subpixel: bool):
+    """Compile-time per-chunk window (base list, wcap) for a static
+    disparity range, or None when the range is too wide to pay off.
+
+    Coverage invariant (asserted): every in-range matched column — plus
+    the col1±1 subpixel neighbours, clipped to the row — of every pixel in
+    chunk ``oc`` lies in ``[base[oc], base[oc] + wcap)``.
+    """
+    dmin, dmax = drange
+    slack = 1 if subpixel else 0
+    wcap = ((chunk + (dmax - dmin) + 2 * slack + 127) // 128) * 128 + 128
+    if wcap >= wp:
+        return None
+    bases = []
+    for oc in range(wp // chunk):
+        lo = max(0, oc * chunk - dmax - slack)
+        b = max(0, min(lo & ~127, wp - wcap))
+        hi = min(oc * chunk + chunk - 1 - dmin + slack, w - 1)
+        assert b <= lo and hi <= b + wcap - 1, (oc, b, lo, hi, wcap)
+        bases.append(b)
+    return tuple(bases), wcap
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("threshold", "minvar", "xs", "interpret", "bases_mode",
-                     "window_mode"),
+                     "window_mode", "drange"),
 )
 def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
-                xs, interpret, bases_mode="host", window_mode="deferred"):
+                xs, interpret, bases_mode="host", window_mode="deferred",
+                drange=None):
     n, h, w = stack0.shape
     u16_in = stack0.dtype == jnp.uint16
     in_mod = 0xFFFF if u16_in else 0xFF
     gather, group = _resolve_gather(n, bool(xs), u16_in)
     chunk, wcap = resolve_chunk_wcap(gather, w)
+    static_bases = ()
+    if drange is not None and gather == "mxu":
+        chunk_s = 256
+        wp_s = w + ((-w) % chunk_s)
+        sw = _static_window(chunk_s, wp_s, w, drange, bool(xs))
+        if sw is not None:
+            static_bases, wcap = sw
+            chunk = chunk_s
+        else:
+            wcap = 0  # range too wide: plain full-width dots
 
     d32 = _pad2(disp.astype(jnp.int32), ROW_BATCH, chunk, value=INVALID_I32)
     s0 = _pad2(stack0, ROW_BATCH, chunk)
@@ -1041,7 +1093,11 @@ def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
 
     mxu_gather = gather == "mxu"
     nc = wp // chunk
-    if ext_bases is not None and wcap and mxu_gather:
+    if static_bases:
+        # Compile-time windows: no bases operand at all (inert constant).
+        inkernel = False
+        bases = jnp.full((hp, nc), -1, jnp.int32)
+    elif ext_bases is not None and wcap and mxu_gather:
         # Precomputed by the SEARCH kernel's epilogue
         # (search.search_stack_nodupes_with_bases): same values as
         # _chunk_window_bases, but produced where the packed minima already
@@ -1068,7 +1124,8 @@ def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
         bases = (_chunk_window_bases(d32, w, wp, wcap, chunk) if wcap
                  else jnp.full((hp, nc), -1, jnp.int32))
     deferred = (window_mode == "deferred" and bool(wcap) and mxu_gather
-                and stack0.dtype != jnp.uint16 and not inkernel)
+                and stack0.dtype != jnp.uint16 and not inkernel
+                and not static_bases)
     if deferred:
         # Augment the bases operand with the compacted fallback-chunk list
         # the in-kernel repair loop walks: lane nc = count, lanes
@@ -1083,7 +1140,7 @@ def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
         n=n, w=w, wp=wp, wcap=wcap, chunk=chunk,
         threshold=threshold, minvar=minvar, xs=xs, in_mod=in_mod,
         mxu_gather=mxu_gather, inkernel_bases=inkernel,
-        deferred=deferred,
+        deferred=deferred, static_bases=static_bases,
         interpret=interpret,
     )
     ncp = ((nc + 127) // 128) * 128
@@ -1141,6 +1198,7 @@ def agree_pallas(
     *,
     interpret: bool = False,
     bases=None,
+    drange=None,
 ):
     """Fused agree: returns (refined f32 disparity with NaN invalid, corrmap).
 
@@ -1164,4 +1222,5 @@ def agree_pallas(
         interpret=interpret,
         bases_mode=AGREE_BASES,
         window_mode=AGREE_WINDOW,
+        drange=drange,
     )

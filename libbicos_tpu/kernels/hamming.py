@@ -1703,6 +1703,207 @@ def row_minima_words_band(
     return mf, ml
 
 
+def _minima_kernel_bf16_stack_range(
+    cx_ref,  # (BPAD, n) bf16 — compare coefficients (X side)
+    cy_ref,  # (BPAD, n) bf16 — compare coefficients (Y side)
+    s0_ref,  # (RB, n, TILE_I) raw left samples for this tile
+    s1_ref,  # (RB, n, W1PAD) raw right rows
+    outf_ref,  # (RB, NI, TILE_I) f32 — packed first-minima
+    outl_ref,  # (RB, NI, TILE_I) f32 — packed last-minima
+    b_scratch,  # (RB, BPAD, W1PAD) bf16
+    *,
+    nbits: int,
+    w1: int,
+    w1pad: int,
+    tile_i: int,
+    tile_j: int,
+    wwin: int,  # static window width (tile_i + range span, aligned)
+    u16: bool,
+    dmin: int,
+    dmax: int,
+    pack_s: int = PACK_S,
+):
+    """Disparity-range fused transform+search (``Config.disparity_range``).
+
+    Same grid/operands as :func:`_minima_kernel_bf16_stack`, but the sweep
+    covers only a ``wwin``-column window of the encoded right row whose
+    offset is a LINEAR function of the (runtime) tile index — a dynamic
+    128-aligned slice, no branches (dynamic slices measured ~3 ms/frame vs
+    ~31 for per-chunk branching; BASELINE.md "The dynamic-window
+    artifact"). The column packing rides the contraction (the encode bakes
+    GLOBAL column ids into the b rows), so the packings are correct at any
+    slice position. Every chunk applies the range/row mask (the range
+    boundary is diagonal in (col0, col1), so there is no steady state).
+    A pixel whose range window leaves the row keeps a penalized packing,
+    which the wrapper decodes to the no-candidate sentinel.
+    """
+    i = pl.program_id(1)
+    rb = s0_ref.shape[0]
+    cxb = cx_ref[...]
+    cyb = cy_ref[...]
+
+    @pl.when(i == 0)
+    def _():
+        def write_seg(k):
+            for r in range(rb):
+                seg = s1_ref[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
+                b_scratch[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
+                    _encode_b_bf16_stack(
+                        seg, cxb, cyb, nbits, k * UNPACK_SEG, u16
+                    )
+                )
+
+        _encode_b_segments(b_scratch, w1pad, write_seg)
+
+    # Window base for this tile: covers col1 in
+    # [i*TILE_I - dmax, i*TILE_I + TILE_I - 1 - dmin], clamped to the row.
+    base = jnp.clip((i * tile_i - dmax) & ~127, 0, w1pad - wwin)
+    base = pl.multiple_of(base, 128)
+    shift = pack_s.bit_length() - 1
+    for r in range(rb):
+        a_f = _encode_a_bf16_stack(
+            s0_ref[r], cxb, cyb, nbits, u16, extras=True, shift=shift
+        )
+        init = jnp.full((tile_i, tile_j), jnp.float32(ACC_INIT),
+                        jnp.float32)
+        accf, accl = init, init
+        row0 = i * tile_i + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_i, 1), 0)
+        for j in range(wwin // tile_j):
+            b_tile = b_scratch[r, :, pl.ds(base + j * tile_j, tile_j)]
+            dotf = jax.lax.dot_general(
+                a_f, b_tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TILE_I, TILE_J) = s*pack_s + col_global
+            colv = (base + j * tile_j) + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile_j), 1)
+            dm = row0 - colv  # (TILE_I, TILE_J) candidate disparity
+            bad = (dm < dmin) | (dm > dmax) | (colv >= w1)
+            dotp = dotf + jnp.where(bad, jnp.float32(PAD_PENALTY), 0.0)
+            accf = jnp.minimum(accf, dotp)
+            cvec = (jnp.float32(pack_s - 1)
+                    - 2.0 * colv.astype(jnp.float32))
+            accl = jnp.minimum(accl, dotp + cvec)
+        outf_ref[r, i, :] = jnp.min(accf, axis=1)
+        outl_ref[r, i, :] = jnp.min(accl, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mode", "drange", "tile_i", "tile_j", "interpret", "rows",
+    ),
+)
+def row_minima_stack_range(
+    stack0,
+    stack1,
+    *,
+    mode,
+    drange: tuple,
+    tile_i: int = DEF_TILE_I,
+    tile_j: int = DEF_TILE_J,
+    interpret: bool = False,
+    rows: int | None = None,
+):
+    """Fused transform+search restricted to ``drange = (dmin, dmax)``
+    (:func:`_minima_kernel_bf16_stack_range`): returns ``(None, first,
+    last)`` with the no-candidate sentinel ``first = -1, last = -2``.
+    NoDuplicates only (need_last always on); bf16 engine only. The sweep
+    is O(W * range) instead of O(W^2): ``wwin`` columns per tile instead
+    of the full padded width."""
+    from ..config import actual_bits
+
+    n, h, w0 = stack0.shape
+    w1 = stack1.shape[2]
+    nbits = actual_bits(n, mode)
+    pack_s, _ = pack_for_width(max(w0, w1))
+    if rows is None:
+        rows = SEARCH_ROWS if pack_s == PACK_S else min(SEARCH_ROWS, 4)
+    tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
+    bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+    cxp, cyp, _ = _padded_coeffs(n, mode, bpad)
+    u16 = stack0.dtype == jnp.uint16
+    dmin, dmax = int(drange[0]), int(drange[1])
+
+    st0, st1 = _prep_stack_operands(stack0, stack1, tile_i, tile_j)
+    rb = max(1, min(rows, h))
+    st0 = _pad_axis(st0, 0, rb)
+    st1 = _pad_axis(st1, 0, rb)
+    hpad = st0.shape[0]
+    w0pad, w1pad = st0.shape[2], st1.shape[2]
+    ni = w0pad // tile_i
+    # Window: [i*TI - dmax (128-aligned down), ...) spanning the range plus
+    # the tile, rounded to whole tile_j chunks; clamped windows still cover
+    # because in-range col1 never leaves [0, w1).
+    span = tile_i + (dmax - dmin) + 128  # +128 for the align-down slack
+    wwin = min(w1pad, -(-span // tile_j) * tile_j)
+
+    kernel = functools.partial(
+        _minima_kernel_bf16_stack_range,
+        nbits=nbits,
+        w1=w1,
+        w1pad=w1pad,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        wwin=wwin,
+        u16=u16,
+        dmin=dmin,
+        dmax=dmax,
+        pack_s=pack_s,
+    )
+    cxj = jnp.asarray(cxp, jnp.bfloat16)
+    cyj = jnp.asarray(cyp, jnp.bfloat16)
+    mf, ml = pl.pallas_call(
+        kernel,
+        grid=(hpad // rb, ni),
+        in_specs=[
+            pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, n, tile_i), lambda r, i: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, n, w1pad), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), jnp.float32),
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((rb, bpad, w1pad), jnp.bfloat16)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * hpad * w0pad * wwin * bpad * 2,
+            bytes_accessed=hpad * (w0pad + w1pad) * n + hpad * w0pad * 8,
+            transcendentals=0,
+        ),
+    )(cxj, cyj, st0, st1)
+
+    mf = mf.reshape(hpad, w0pad)[:h, :w0]
+    ml = ml.reshape(hpad, w0pad)[:h, :w0]
+    # No-candidate sentinel: real packings stay < 2^22 at both pack
+    # widths; penalized / never-visited pixels carry >= PAD_PENALTY -
+    # 2^21 or ACC_INIT.
+    none = mf >= jnp.float32(1 << 22)
+    sf = jnp.floor(mf / pack_s)
+    first = jnp.where(none, jnp.int32(-1),
+                      (mf - sf * pack_s).astype(jnp.int32))
+    sl = jnp.floor(ml / pack_s)
+    last = jnp.where(none, jnp.int32(-2),
+                     (pack_s - 1) - (ml - sl * pack_s).astype(jnp.int32))
+    return None, first, last
+
+
 def _minima_kernel_band_stack(
     off_ref,  # (1,) i32 in SMEM — visiting band's global column offset
     cx_ref,  # (BPAD, n) bf16 — compare coefficients (X side)

@@ -85,7 +85,8 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
         # (descriptor.compare_coeffs / kernels/hamming.py) — the separate
         # transform pass and its packed-words HBM round-trip disappear.
         bparams = (_agree_bases_params(stack0, cfg, backend)
-                   if isinstance(cfg.variant, NoDuplicates) else None)
+                   if (isinstance(cfg.variant, NoDuplicates)
+                       and cfg.disparity_range is None) else None)
         if bparams is not None:
             # The search kernel also emits the agree stage's dynamic-window
             # bases from its epilogue (search_bases is None when the kernel
@@ -97,7 +98,8 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
             )
         else:
             disp = _search.search_stack(
-                stack0, stack1, cfg.mode, cfg.variant, backend=backend
+                stack0, stack1, cfg.mode, cfg.variant, backend=backend,
+                drange=cfg.disparity_range,
             )
     elif backend in ("pallas", "pallas_interpret") and n < 10:
         # For small stacks XLA's rematerializer slices the transform's
@@ -114,7 +116,8 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
             words0 = jnp.concatenate([words0, jnp.zeros_like(words0)], -1)
             words1 = jnp.concatenate([words1, jnp.zeros_like(words1)], -1)
         disp = _search.search_words(
-            words0, words1, nbits, cfg.variant, backend=backend
+            words0, words1, nbits, cfg.variant, backend=backend,
+            drange=cfg.disparity_range,
         )
     else:
         # Packed-words path: descriptors are OR-ed into uint32 lanes as the
@@ -125,7 +128,8 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
         words0 = _descriptor.descriptor_words(stack0, cfg.mode, min_words=2)
         words1 = _descriptor.descriptor_words(stack1, cfg.mode, min_words=2)
         disp = _search.search_words(
-            words0, words1, nbits, cfg.variant, backend=backend
+            words0, words1, nbits, cfg.variant, backend=backend,
+            drange=cfg.disparity_range,
         )
 
     if cfg.nxcorr_threshold is None:
@@ -146,6 +150,7 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
             cfg.subpixel_step, minvar,
             interpret=(backend == "pallas_interpret"),
             bases=search_bases,
+            drange=cfg.disparity_range,
         )
         if cfg.subpixel_step is not None:
             out = out_f

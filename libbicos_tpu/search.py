@@ -70,12 +70,17 @@ def decode_packed_minima(mf, ml, w1: int, need_last: bool,
     return cost, first, last
 
 
-def _row_chunk_minima(w0, w1, need_last: bool, pack_k: int = PACK_K):
+def _row_chunk_minima(w0, w1, need_last: bool, pack_k: int = PACK_K,
+                      drange=None):
     """Minima for one chunk of rows via direct XOR+popcount (int32 exact).
 
     w0: (R, W0, nw) uint32, w1: (R, W1, nw) uint32.
     Returns (mf, ml): packed minima (R, W0) int32; ml is None-like zeros if
-    ``need_last`` is False.
+    ``need_last`` is False. ``drange=(dmin, dmax)`` penalizes candidates
+    whose disparity ``col0 - col1`` falls outside the inclusive range
+    (the ``Config.disparity_range`` extension) — a pixel with no in-range
+    candidate keeps the penalty in its packing, which the decode turns
+    into the invalid sentinel.
     """
     r, wid0, nw = w0.shape
     wid1 = w1.shape[1]
@@ -86,9 +91,22 @@ def _row_chunk_minima(w0, w1, need_last: bool, pack_k: int = PACK_K):
         cost = p if cost is None else cost + p
     col = jnp.arange(wid1, dtype=jnp.int32)
     pf = cost * pack_k + col[None, None, :]
-    mf = jnp.min(pf, axis=2)
     if need_last:
         pl_ = cost * pack_k + (wid1 - 1 - col)[None, None, :]
+    if drange is not None:
+        dmin, dmax = drange
+        dm = (jnp.arange(wid0, dtype=jnp.int32)[None, :, None]
+              - col[None, None, :])
+        # where-replace (not add): the decoded cost of an all-penalized
+        # pixel must exceed any true cost (<= 256) for EVERY pack width
+        # up to the 2^22 ultra-wide packing.
+        bad = (dm < dmin) | (dm > dmax)
+        big = jnp.int32(0x7F000000)
+        pf = jnp.where(bad, big, pf)
+        if need_last:
+            pl_ = jnp.where(bad, big, pl_)
+    mf = jnp.min(pf, axis=2)
+    if need_last:
         ml = jnp.min(pl_, axis=2)
     else:
         ml = jnp.zeros_like(mf)
@@ -100,7 +118,8 @@ def _row_chunk_minima(w0, w1, need_last: bool, pack_k: int = PACK_K):
 COL_CHUNK = 8192
 
 
-def _row_chunk_minima_cols(w0, w1, need_last: bool, pack_k: int):
+def _row_chunk_minima_cols(w0, w1, need_last: bool, pack_k: int,
+                           drange=None):
     """Column-chunked :func:`_row_chunk_minima` for unbounded image widths.
 
     The reference's CPU scan walks any width with O(1) state
@@ -115,7 +134,9 @@ def _row_chunk_minima_cols(w0, w1, need_last: bool, pack_k: int):
     padc = ncc * COL_CHUNK - wid1
     w1p = jnp.pad(w1, ((0, 0), (0, padc), (0, 0)))
     w1cc = jnp.moveaxis(w1p.reshape(r, ncc, COL_CHUNK, nw), 1, 0)
-    big = jnp.int32(2**30)  # > any real packing; never decoded
+    # > any real packing at every pack width (decoded cost > 256); only
+    # decoded when a range leaves a pixel without candidates.
+    big = jnp.int32(0x7F000000)
 
     def step(carry, args):
         w1c, base = args
@@ -126,6 +147,11 @@ def _row_chunk_minima_cols(w0, w1, need_last: bool, pack_k: int):
             cost = p if cost is None else cost + p
         col = base + jnp.arange(COL_CHUNK, dtype=jnp.int32)
         ok = (col < wid1)[None, None, :]
+        if drange is not None:
+            dmin, dmax = drange
+            dm = (jnp.arange(wid0, dtype=jnp.int32)[None, :, None]
+                  - col[None, None, :])
+            ok = ok & (dm >= dmin) & (dm <= dmax)
         pf = jnp.where(ok, cost * pack_k + col[None, None, :], big)
         mf = jnp.minimum(carry[0], jnp.min(pf, axis=2))
         if need_last:
@@ -156,7 +182,7 @@ def row_minima_xla(
 
 
 def row_minima_xla_words(
-    words0, words1, need_last: bool, row_chunk: int = 8
+    words0, words1, need_last: bool, row_chunk: int = 8, drange=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Forward search minima of every left pixel against its full right row.
 
@@ -164,6 +190,9 @@ def row_minima_xla_words(
       words0: (H, W0, nw) uint32 packed descriptors (left/query side).
       words1: (H, W1, nw) uint32 (right/database side).
       need_last: also compute the last-occurrence argmin (for NoDuplicates).
+      drange: optional inclusive (dmin, dmax) disparity-range restriction
+        (``Config.disparity_range``); pixels without an in-range candidate
+        decode to ``first = -1, last = -2`` (never equal, never a column).
 
     Returns:
       cost  (H, W0) int32 — minimum Hamming cost,
@@ -199,15 +228,30 @@ def row_minima_xla_words(
     w1c = words1.reshape(nchunk, row_chunk, w1, words1.shape[-1])
     fn = _row_chunk_minima_cols if col_chunked else _row_chunk_minima
     mf, ml = jax.lax.map(
-        lambda args: fn(args[0], args[1], need_last, pack_k),
+        lambda args: fn(args[0], args[1], need_last, pack_k, drange),
         (w0c, w1c),
     )
     mf = mf.reshape(-1, w0)[:h]
     ml = ml.reshape(-1, w0)[:h]
-    return decode_packed_minima(mf, ml, w1, need_last, pack_k)
+    cost, first, last = decode_packed_minima(mf, ml, w1, need_last, pack_k)
+    if drange is not None:
+        # No in-range candidate: the penalty survived the min. Sentinels
+        # -1/-2 are never equal and never a real column, so every variant
+        # decode naturally invalidates (plus the explicit >= 0 guards).
+        none = cost > 256
+        first = jnp.where(none, jnp.int32(-1), first)
+        if need_last:
+            last = jnp.where(none, jnp.int32(-2), last)
+    return cost, first, last
 
 
-def _row_minima_w(words0, words1, nbits, need_last: bool, backend: str):
+def _row_minima_w(words0, words1, nbits, need_last: bool, backend: str,
+                  drange=None):
+    if drange is not None:
+        # Disparity-range restriction: the words kernels have no range
+        # masking — the masked XLA scan is the correct path (the FAST
+        # ranged path is the fused stack kernel, search_stack).
+        backend = "xla"
     if backend in ("pallas", "pallas_interpret"):
         from .kernels.hamming import row_minima_pallas_words
 
@@ -215,7 +259,7 @@ def _row_minima_w(words0, words1, nbits, need_last: bool, backend: str):
             words0, words1, nbits=nbits, need_last=need_last,
             interpret=(backend == "pallas_interpret"),
         )
-    return row_minima_xla_words(words0, words1, need_last)
+    return row_minima_xla_words(words0, words1, need_last, drange=drange)
 
 
 def resolve_backend(backend: str) -> str:
@@ -240,7 +284,9 @@ def search(bits0, bits1, variant: SearchVariant, backend: str = "auto"):
 
 def _finish_nodupes(first, last, w0: int):
     col0 = jnp.arange(w0, dtype=jnp.int32)[None, :]
-    valid = first == last
+    # first >= 0 guards the disparity-range no-candidate sentinel (-1/-2);
+    # always true for the unrestricted scan.
+    valid = (first == last) & (first >= 0)
     disp = col0 - first
     return jnp.where(valid, disp, jnp.int32(INVALID_I16)).astype(jnp.int16)
 
@@ -273,17 +319,25 @@ def _finish_consistency_gathered(
     valid = jnp.ones((h, w0), dtype=bool)
     if variant.no_dupes:
         valid = first0 == last0
+    # >= 0 guards the disparity-range no-candidate sentinels (forward and
+    # reverse); always true for the unrestricted scan.
     valid = (
-        valid & rok & (jnp.abs(col0 - rc0) <= jnp.int32(variant.max_lr_diff))
+        valid & rok & (first0 >= 0) & (rc0 >= 0)
+        & (jnp.abs(col0 - rc0) <= jnp.int32(variant.max_lr_diff))
     )
     disp = (col0 + rc0) // 2 - first0
     return jnp.where(valid, disp, jnp.int32(INVALID_I16)).astype(jnp.int16)
 
 
 def search_words(
-    words0, words1, nbits: int, variant: SearchVariant, backend: str = "auto"
+    words0, words1, nbits: int, variant: SearchVariant,
+    backend: str = "auto", drange=None,
 ):
-    """Correspondence search on packed uint32 descriptor words."""
+    """Correspondence search on packed uint32 descriptor words.
+
+    ``drange``: optional inclusive (dmin, dmax) disparity-range
+    restriction (``Config.disparity_range``); routed through the masked
+    XLA scan (the fast ranged path is the fused stack kernel)."""
     backend = resolve_backend(backend)
     h, w0, _ = words0.shape
     w1 = words1.shape[1]
@@ -292,9 +346,12 @@ def search_words(
         # rows in [8192, 16384)); beyond that the XLA path packs into
         # PACK_K = 32768 and keeps working.
         backend = "xla"
+    if drange is not None:
+        backend = "xla"  # see _row_minima_w
 
     if isinstance(variant, NoDuplicates):
-        _, first, last = _row_minima_w(words0, words1, nbits, True, backend)
+        _, first, last = _row_minima_w(
+            words0, words1, nbits, True, backend, drange)
         return _finish_nodupes(first, last, w0)
     assert isinstance(variant, Consistency)
     nodupes = variant.no_dupes
@@ -316,9 +373,12 @@ def search_words(
             first0, last0, rc0, rok, h, w0, variant
         )
     _, first0, last0 = _row_minima_w(
-        words0, words1, nbits, nodupes, backend)
+        words0, words1, nbits, nodupes, backend, drange)
+    # Reverse search: query and candidate roles swap, so the range
+    # reflects to (-dmax, -dmin).
+    drange_rev = None if drange is None else (-drange[1], -drange[0])
     _, first1, last1 = _row_minima_w(
-        words1, words0, nbits, nodupes, backend)
+        words1, words0, nbits, nodupes, backend, drange_rev)
     if not nodupes:
         last0 = last1 = None
     return _finish_consistency(
@@ -390,7 +450,8 @@ def search_stack_nodupes_with_bases(
 
 
 def search_stack(
-    stack0, stack1, mode, variant: SearchVariant, backend: str = "auto"
+    stack0, stack1, mode, variant: SearchVariant, backend: str = "auto",
+    drange=None,
 ):
     """Correspondence search straight from raw (n, H, W) image stacks.
 
@@ -400,6 +461,12 @@ def search_stack(
     and its packed-words HBM round-trip disappear. Other backends (or the
     LIMITED n<4 corner) fall back to transform-then-search with identical
     results.
+
+    ``drange``: inclusive (dmin, dmax) disparity-range restriction
+    (``Config.disparity_range``). NoDuplicates on the Pallas backend runs
+    the range-specialized fused kernel (compile-time chunk skipping:
+    O(W * range) instead of O(W^2)); every other combination routes
+    through the masked XLA scan — correct, not fast.
     """
     from .config import actual_bits
     from .descriptor import descriptor_words
@@ -407,7 +474,15 @@ def search_stack(
     backend = resolve_backend(backend)
     n, h, w0 = stack0.shape
     w1 = stack1.shape[2]
-    if not fused_stack_search_ok(mode, n, backend, max(w0, w1)):
+    fused_ok = fused_stack_search_ok(mode, n, backend, max(w0, w1))
+    if drange is not None and not (
+            fused_ok and isinstance(variant, NoDuplicates)):
+        return search_words(
+            descriptor_words(stack0, mode, min_words=2),
+            descriptor_words(stack1, mode, min_words=2),
+            actual_bits(n, mode), variant, backend, drange=drange,
+        )
+    if not fused_ok:
         nbits = actual_bits(n, mode)
         # min_words=2: single-word (H, W, 1) uint32 outputs provoke a
         # 128x-padded-layout HBM blow-up on TPU (see pipeline._match_impl).
@@ -418,6 +493,14 @@ def search_stack(
         )
     interpret = backend == "pallas_interpret"
     if isinstance(variant, NoDuplicates):
+        if drange is not None:
+            from .kernels.hamming import row_minima_stack_range
+
+            _, first, last = row_minima_stack_range(
+                stack0, stack1, mode=mode, drange=drange,
+                interpret=interpret,
+            )
+            return _finish_nodupes(first, last, w0)
         from .kernels.hamming import row_minima_stack
 
         _, first, last = row_minima_stack(

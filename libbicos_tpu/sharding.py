@@ -225,6 +225,10 @@ def match_sharded_w(
     stack0 = jnp.asarray(stack0)
     stack1 = jnp.asarray(stack1)
     _validate_match_args(stack0, stack1, cfg, corrmap)
+    if cfg.disparity_range is not None:
+        raise ValueError(
+            "disparity_range is not supported on the W-banded path yet; "
+            "use match_sharded (H-banding) or single-chip match")
     n, h, w = stack0.shape
     if w >= PACK_K:
         # The ring reduction packs cost * PACK_K + col, so wider rows would

@@ -48,7 +48,7 @@ import libbicos_tpu as bicos  # noqa: E402
 from libbicos_tpu import _oracle as oracle  # noqa: E402
 
 
-def draw_cfg(fz, *, small: bool):
+def draw_cfg(fz, *, small: bool, allow_range: bool = False):
     mode = (bicos.TransformMode.FULL if fz.integers(2)
             else bicos.TransformMode.LIMITED)
     n_hi = (8 if small else 10) if mode == bicos.TransformMode.FULL else (
@@ -65,8 +65,16 @@ def draw_cfg(fz, *, small: bool):
                                     no_dupes=bool(fz.integers(2)))
     else:
         variant = bicos.NoDuplicates()
+    drange = None
+    if allow_range and fz.integers(4) == 0:
+        # Config.disparity_range extension: only drawn for modes whose
+        # reference is the same engine (shard/batched exactness) — the
+        # oracle transcribes the reference, which has no range.
+        lo = int(fz.integers(-20, 20))
+        drange = (lo, lo + int(fz.integers(1, 40)))
     cfg = bicos.Config(nxcorr_threshold=threshold, subpixel_step=step,
-                       min_variance=minvar, mode=mode, variant=variant)
+                       min_variance=minvar, mode=mode, variant=variant,
+                       disparity_range=drange)
     return cfg, n
 
 
@@ -102,7 +110,8 @@ def cmp_disp(got_d, want_d, step, ctx):
 
 def run_trial(fz, mode_name):
     small = mode_name == "interp"
-    cfg, n = draw_cfg(fz, small=small)
+    cfg, n = draw_cfg(fz, small=small,
+                      allow_range=mode_name in ("shard", "batched"))
     dtype = np.uint16 if fz.integers(4) == 0 else np.uint8
     if mode_name == "shard":
         # Uneven/ragged sizes: shard paths pad H to the mesh and ring
@@ -132,23 +141,23 @@ def run_trial(fz, mode_name):
         cerr = np.abs(np.nan_to_num(got_c, nan=-9.0)
                       - np.nan_to_num(want_c, nan=-9.0))
         if step is not None:
-            # fma (engine) vs serial (oracle) nxcorr differs by 1-2 ulps,
-            # which can flip the sweep winner at a near-tie: there the corr
-            # is the OTHER candidate's value (delta ~1e-3 observed), and
-            # the disparity moves too. Require corr agreement except at
-            # such flips (bounded delta AND a moved disparity).
-            gf = got_d.astype(np.float32)
-            wf = want_dn.astype(np.float32)
-            # A flip is visible either as a moved disparity or as a pixel
-            # both paths invalidated (different sweep winners, both below
-            # threshold -> NaN disparity, corr still differs by the
-            # candidates' nxcorr gap — observed up to ~2e-3 at 4/1790
-            # trials, always step 0.1).
-            flip = (np.abs(np.nan_to_num(gf) - np.nan_to_num(wf)) > 1e-6) \
-                | (np.isnan(gf) & np.isnan(wf))
-            ok = (cerr < 3e-5) | (flip & (cerr < 2e-2))
-            assert ok.all(), ctx + f" corr mismatch beyond flip policy " \
-                f"(max {cerr[~ok].max():.3g})"
+            # fma (engine) vs serial (oracle) nxcorr differs by 1-2 ulps.
+            # Two benign consequences at subpixel (both observed, always
+            # step 0.1): (a) a near-tie sweep winner flips — the corr is
+            # the OTHER candidate's value and the disparity moves too;
+            # (b) at the SAME winning x, the roundeven(interpolated
+            # sample) cast sits on a .5 boundary and the 1-ulp parabola
+            # difference flips one sample by a quantization step — corr
+            # moves ~1e-3..5e-3 with an UNCHANGED disparity (seed 4407
+            # trial 93: four pixels, all half-integer x winners). Bound
+            # the per-pixel delta and the count of beyond-ulp pixels
+            # (same policy as tests/test_reference_differential.py).
+            assert (cerr < 2e-2).all(), ctx + (
+                f" corr mismatch beyond policy "
+                f"(max {cerr[cerr >= 2e-2].max():.3g})")
+            nbad = int((cerr > 3e-5).sum())
+            assert nbad <= max(8, int(0.02 * cerr.size)), ctx + (
+                f" too many beyond-ulp corr pixels ({nbad}/{cerr.size})")
         else:
             np.testing.assert_allclose(
                 got_c, want_c, rtol=3e-5, atol=3e-5,
@@ -197,8 +206,9 @@ def run_trial(fz, mode_name):
     ref = bicos.match(s0, s1, cfg, backend="xla")
     got_h = match_sharded(s0, s1, cfg, mesh=mesh, backend="xla")
     cmp_disp(got_h, ref, None, ctx + " [H-band]")
-    got_w = match_sharded_w(s0, s1, cfg, mesh=mesh, backend="xla")
-    cmp_disp(got_w, ref, None, ctx + " [W-band]")
+    if cfg.disparity_range is None:  # W-banding does not support ranges
+        got_w = match_sharded_w(s0, s1, cfg, mesh=mesh, backend="xla")
+        cmp_disp(got_w, ref, None, ctx + " [W-band]")
     return ctx + f" mesh={len(mesh.devices.flat)}"
 
 
