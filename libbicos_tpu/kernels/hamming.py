@@ -1034,6 +1034,270 @@ def _consistency_kernel_bf16_stack(
             )
 
 
+def _consistency_kernel_bf16_stack_range(
+    cx_ref,  # (BPAD, n) bf16
+    cy_ref,  # (BPAD, n) bf16
+    s0_ref,  # (RB, n, TILE_I)
+    s1_ref,  # (RB, n, W1PAD)
+    outf_ref,  # (RB, NI, TILE_I) f32 — packed forward first-minima
+    outl_ref,  # (RB, NI, TILE_I) f32 — packed forward last-minima
+    rcf_ref,  # (RB, NI, TILE_I) f32 — reverse first-minima AT the fwd argmin
+    rcl_ref,  # (RB, NI, TILE_I) f32 — reverse last-minima AT the fwd argmin
+    b_scratch,  # (RB, BPAD, W1PAD) bf16
+    rev_scratch,  # (max(8, 2*RB), W1PAD) f32
+    *,
+    nbits: int,
+    w0: int,
+    w1: int,
+    w1pad: int,
+    tile_j: int,
+    tile_i: int,
+    wwin: int,
+    no_dupes: bool,
+    u16: bool,
+    dmin: int,
+    dmax: int,
+    pack_s: int = PACK_S,
+):
+    """Disparity-range fused Consistency scan: the runtime-offset window
+    structure of :func:`_minima_kernel_bf16_stack_range` applied to
+    :func:`_consistency_kernel_bf16_stack`. Out-of-range (col0, col1)
+    pairs are penalized out of all four streams — union over the left
+    tiles covers exactly the in-range pair set, so the reverse minima in
+    ``rev_scratch`` are the correctly restricted reverse search. The
+    reverse range penalty is 2^22 (NOT PAD_PENALTY): reverse packings go
+    through the lookup's 3-byte split whose capacity is 2^24
+    (``_consistency_lookup``), and 2^22 already exceeds every real
+    reverse packing (ham*pack_s + col <= 2^21 + 2^13) while keeping
+    penalty + rowpen + value < 2^24 exact. Columns no tile visits keep
+    the scratch init — only ever looked up through a penalized forward
+    packing, which the wrapper's sentinels gate."""
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    rb = s0_ref.shape[0]
+    cxb = cx_ref[...]
+    cyb = cy_ref[...]
+
+    @pl.when(i == 0)
+    def _():
+        def write_seg(k):
+            for r in range(rb):
+                seg = s1_ref[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)]
+                b_scratch[r, :, pl.ds(k * UNPACK_SEG, UNPACK_SEG)] = (
+                    _encode_b_bf16_stack(
+                        seg, cxb, cyb, nbits, k * UNPACK_SEG, u16
+                    )
+                )
+
+        _encode_b_segments(b_scratch, w1pad, write_seg)
+        rev_scratch[...] = jnp.full(
+            rev_scratch.shape, jnp.float32(ACC_INIT * 2), jnp.float32
+        )
+
+    base = jnp.clip((i * tile_i - dmax) & ~127, 0, w1pad - wwin)
+    base = pl.multiple_of(base, 128)
+    row0 = i * tile_i + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_i, 1), 0
+    )
+    rowpen = jnp.where(row0 >= w0, jnp.float32(PAD_PENALTY), 0.0)
+
+    shift = pack_s.bit_length() - 1
+    for r in range(rb):
+        a_f = _encode_a_bf16_stack(
+            s0_ref[r], cxb, cyb, nbits, u16, extras=True, shift=shift
+        )
+        sum_pm = (jnp.sum(a_f.astype(jnp.float32), axis=1, keepdims=True)
+                  - jnp.float32(257.0))
+        pop0 = (jnp.float32(nbits)
+                - sum_pm * jnp.float32(1.0 / pack_s)) * jnp.float32(0.5)
+        radd_f = (pop0 * jnp.float32(pack_s)
+                  + row0.astype(jnp.float32) + rowpen)
+        radd_l = (pop0 * jnp.float32(pack_s)
+                  + (jnp.float32(pack_s - 1) - row0.astype(jnp.float32))
+                  + rowpen)
+
+        init = jnp.full(
+            (tile_i, tile_j), jnp.float32(ACC_INIT), jnp.float32
+        )
+        accf, accl = init, init
+        for j in range(wwin // tile_j):
+            b_tile = b_scratch[r, :, pl.ds(base + j * tile_j, tile_j)]
+            dotf = jax.lax.dot_general(
+                a_f, b_tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            colv = (base + j * tile_j) + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile_j), 1)
+            colf = colv.astype(jnp.float32)
+            dm = row0 - colv
+            bad = (dm < dmin) | (dm > dmax) | (colv >= w1)
+            penf = jnp.where(bad, jnp.float32(PAD_PENALTY), 0.0)
+            penr = jnp.where(bad, jnp.float32(1 << 22), 0.0)
+            accf = jnp.minimum(accf, dotf + penf)
+            if no_dupes:
+                cvec = (jnp.float32(pack_s - 1) - 2.0 * colf) + penf
+                accl = jnp.minimum(accl, dotf + cvec)
+            dotr = dotf + penr
+            rev_f = jnp.min(dotr + radd_f, axis=0, keepdims=True) - colf
+            js = pl.ds(base + j * tile_j, tile_j)
+            sb = 2 * r
+            rev_scratch[sb:sb + 1, js] = jnp.minimum(
+                rev_scratch[sb:sb + 1, js], rev_f
+            )
+            if no_dupes:
+                rev_l = (jnp.min(dotr + radd_l, axis=0, keepdims=True)
+                         - colf)
+                rev_scratch[sb + 1:sb + 2, js] = jnp.minimum(
+                    rev_scratch[sb + 1:sb + 2, js], rev_l
+                )
+
+        outf_ref[r, i, :] = jnp.min(accf, axis=1)
+        outl_ref[r, i, :] = (jnp.min(accl, axis=1) if no_dupes
+                             else jnp.zeros((tile_i,), jnp.float32))
+
+    @pl.when(i == ni - 1)
+    def _():
+        for r in range(rb):
+            _consistency_lookup(
+                outf_ref, rev_scratch, rcf_ref, rcl_ref,
+                ni=ni, tile_i=tile_i, w1pad=w1pad, no_dupes=no_dupes,
+                row=r, src_base=2 * r, pack_s=pack_s,
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mode", "no_dupes", "drange", "tile_i", "tile_j", "interpret",
+        "rows",
+    ),
+)
+def row_minima_consistency_stack_range(
+    stack0,
+    stack1,
+    *,
+    mode,
+    no_dupes: bool,
+    drange: tuple,
+    tile_i: int = DEF_TILE_I,
+    tile_j: int = DEF_TILE_J,
+    interpret: bool = False,
+    rows: int | None = None,
+):
+    """Range-restricted fused Consistency search
+    (:func:`_consistency_kernel_bf16_stack_range`). Returns
+    ``((None, first0, last0), (None, rc0, rc0_last))`` with no-candidate
+    sentinels: forward ``first0 = -1, last0 = -2``; reverse ``rc0 = -1,
+    rc0_last = -2`` (never within ``max_lr_diff`` of a real column, and
+    explicitly gated by the >= 0 guards in the decode). bf16 engine."""
+    from ..config import actual_bits
+
+    n, h, w0 = stack0.shape
+    w1 = stack1.shape[2]
+    nbits = actual_bits(n, mode)
+    pack_s, _ = pack_for_width(max(w0, w1))
+    if rows is None:
+        rows = CONS_ROWS if pack_s == PACK_S else min(CONS_ROWS, 2)
+    tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
+    bpad = max(128, ((nbits + 2 + 127) // 128) * 128)
+    cxp, cyp, _ = _padded_coeffs(n, mode, bpad)
+    u16 = stack0.dtype == jnp.uint16
+    dmin, dmax = int(drange[0]), int(drange[1])
+
+    st0, st1 = _prep_stack_operands(stack0, stack1, tile_i, tile_j)
+    rb = max(1, min(rows, h))
+    st0 = _pad_axis(st0, 0, rb)
+    st1 = _pad_axis(st1, 0, rb)
+    hpad = st0.shape[0]
+    w0pad, w1pad = st0.shape[2], st1.shape[2]
+    ni = w0pad // tile_i
+    span = tile_i + (dmax - dmin) + 128
+    wwin = min(w1pad, -(-span // tile_j) * tile_j)
+
+    kernel = functools.partial(
+        _consistency_kernel_bf16_stack_range,
+        nbits=nbits,
+        w0=w0,
+        w1=w1,
+        w1pad=w1pad,
+        tile_j=tile_j,
+        tile_i=tile_i,
+        wwin=wwin,
+        no_dupes=no_dupes,
+        u16=u16,
+        dmin=dmin,
+        dmax=dmax,
+        pack_s=pack_s,
+    )
+    cxj = jnp.asarray(cxp, jnp.bfloat16)
+    cyj = jnp.asarray(cyp, jnp.bfloat16)
+    grid = (hpad // rb, ni)
+    mf, ml, mrf, mrl = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bpad, n), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, n, tile_i), lambda r, i: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, n, w1pad), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((rb, ni, tile_i), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((hpad, ni, tile_i), jnp.float32)
+            for _ in range(4)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rb, bpad, w1pad), jnp.bfloat16),
+            pltpu.VMEM((max(8, 2 * rb), w1pad), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * hpad * w0pad * wwin * bpad,
+            bytes_accessed=hpad * (w0pad + w1pad) * n
+            + hpad * (w0pad + w1pad) * 8,
+            transcendentals=0,
+        ),
+    )(cxj, cyj, st0, st1)
+
+    mf = mf.reshape(hpad, w0pad)[:h, :w0]
+    mrf = mrf.reshape(hpad, w0pad)[:h, :w0]
+    big = jnp.float32(1 << 22)
+
+    def dec_first(m, sent):
+        s = jnp.floor(m / pack_s)
+        return jnp.where(m >= big, jnp.int32(sent),
+                         (m - s * pack_s).astype(jnp.int32))
+
+    def dec_last(m, sent):
+        s = jnp.floor(m / pack_s)
+        return jnp.where(m >= big, jnp.int32(sent),
+                         (pack_s - 1) - (m - s * pack_s).astype(jnp.int32))
+
+    first0 = dec_first(mf, -1)
+    rc0 = dec_first(mrf, -1)
+    if no_dupes:
+        ml = ml.reshape(hpad, w0pad)[:h, :w0]
+        last0 = dec_last(ml, -2)
+        mrl = mrl.reshape(hpad, w0pad)[:h, :w0]
+        rc0_last = dec_last(mrl, -2)
+    else:
+        last0 = None
+        rc0_last = None
+    return (None, first0, last0), (None, rc0, rc0_last)
+
+
 def _consistency_kernel_i8_stack(
     cx_ref,  # (BPAD, n) bf16
     cy_ref,  # (BPAD, n) bf16

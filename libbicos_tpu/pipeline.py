@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from . import agree as _agree
 from . import descriptor as _descriptor
 from . import search as _search
-from .config import Config, NoDuplicates, Precision, TransformMode, \
-    validate_stack
+from .config import Config, Consistency, NoDuplicates, Precision, \
+    TransformMode, validate_stack
 
 
 def _validate_inputs(stack0, stack1):
@@ -145,12 +145,20 @@ def _match_impl(stack0, stack1, cfg: Config, want_corrmap: bool, backend: str):
         # (Mosaic has no f64).
         from .kernels.agree import agree_pallas
 
+        # Consistency stores d = (col0 + rc0)//2 - col1 with rc0 within
+        # max_lr_diff of col0, so the matched column col0 - d can sit up
+        # to ceil(max_lr_diff/2) outside the search range — the agree
+        # stage's static windows must widen accordingly.
+        agree_dr = cfg.disparity_range
+        if agree_dr is not None and isinstance(cfg.variant, Consistency):
+            m2 = (cfg.variant.max_lr_diff + 1) // 2
+            agree_dr = (agree_dr[0] - m2, agree_dr[1] + m2)
         out_f, corr = agree_pallas(
             disp, stack0, stack1, cfg.nxcorr_threshold,
             cfg.subpixel_step, minvar,
             interpret=(backend == "pallas_interpret"),
             bases=search_bases,
-            drange=cfg.disparity_range,
+            drange=agree_dr,
         )
         if cfg.subpixel_step is not None:
             out = out_f

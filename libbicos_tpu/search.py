@@ -475,12 +475,26 @@ def search_stack(
     n, h, w0 = stack0.shape
     w1 = stack1.shape[2]
     fused_ok = fused_stack_search_ok(mode, n, backend, max(w0, w1))
-    if drange is not None and not (
-            fused_ok and isinstance(variant, NoDuplicates)):
+    if drange is not None and not fused_ok:
         return search_words(
             descriptor_words(stack0, mode, min_words=2),
             descriptor_words(stack1, mode, min_words=2),
             actual_bits(n, mode), variant, backend, drange=drange,
+        )
+    if drange is not None and isinstance(variant, Consistency):
+        from .kernels.hamming import row_minima_consistency_stack_range
+
+        (_, first0, last0), (_, rc0, rc0_last) = (
+            row_minima_consistency_stack_range(
+                stack0, stack1, mode=mode, no_dupes=variant.no_dupes,
+                drange=drange,
+                interpret=(backend == "pallas_interpret"),
+            )
+        )
+        rok = (rc0 == rc0_last if variant.no_dupes
+               else jnp.ones((h, w0), dtype=bool))
+        return _finish_consistency_gathered(
+            first0, last0, rc0, rok, h, w0, variant
         )
     if not fused_ok:
         nbits = actual_bits(n, mode)

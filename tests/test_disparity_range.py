@@ -71,12 +71,19 @@ def test_range_restricts_and_validity(rng):
 
 
 @pytest.mark.parametrize("step", [None, 0.25])
-def test_range_full_pipeline_kernel_vs_xla(rng, step):
+@pytest.mark.parametrize("variant", [
+    None,  # NoDuplicates
+    Consistency(max_lr_diff=3, no_dupes=True),  # widened agree windows
+])
+def test_range_full_pipeline_kernel_vs_xla(rng, step, variant):
     """Threshold+minvar (+subpixel) with range: the static-window agree
-    kernel must match the XLA path bit-for-bit."""
+    kernel must match the XLA path bit-for-bit. At n=12 the subpixel agree
+    resolves to the mxu gather, so the static windows (and their
+    consistency widening by ceil(max_lr_diff/2)) actually engage."""
     s0, s1, _ = synthetic_stack_pair(12, 12, 700, dtype=np.uint8, seed=9)
+    kw = {} if variant is None else {"variant": variant}
     cfg = Config(nxcorr_threshold=0.5, subpixel_step=step, min_variance=1.0,
-                 disparity_range=(0, 63))
+                 disparity_range=(0, 63), **kw)
     gx = np.asarray(bicos.match(s0, s1, cfg, backend="xla"))
     gp = np.asarray(bicos.match(s0, s1, cfg, backend="pallas_interpret"))
     if gx.dtype.kind == "f":
@@ -87,18 +94,24 @@ def test_range_full_pipeline_kernel_vs_xla(rng, step):
         np.testing.assert_array_equal(gx, gp)
 
 
-def test_range_consistency_variant(rng):
-    """Consistency (+no_dupes) with range routes through the masked XLA
-    scan on every backend — correct, if not fast."""
+@pytest.mark.parametrize("no_dupes", [True, False])
+@pytest.mark.parametrize("mld", [1, 3])
+def test_range_consistency_variant(rng, no_dupes, mld):
+    """Consistency (+no_dupes) with range: the fused ranged consistency
+    kernel (row_minima_consistency_stack_range) must match the masked XLA
+    scan bit-for-bit, including the widened agree windows (the averaged
+    consistency disparity can sit ceil(max_lr_diff/2) outside the search
+    range)."""
     s0, s1, _ = synthetic_stack_pair(8, 8, 64, dtype=np.uint8, seed=11)
     cfg = Config(nxcorr_threshold=0.5, min_variance=1.0,
-                 variant=Consistency(max_lr_diff=1, no_dupes=True),
+                 variant=Consistency(max_lr_diff=mld, no_dupes=no_dupes),
                  disparity_range=(0, 31))
     gx = np.asarray(bicos.match(s0, s1, cfg, backend="xla"))
     gp = np.asarray(bicos.match(s0, s1, cfg, backend="pallas_interpret"))
     np.testing.assert_array_equal(gx, gp)
     v = gx != -32768
-    assert ((gx[v] >= 0) & (gx[v] <= 31)).all()
+    m2 = (mld + 1) // 2
+    assert ((gx[v] >= -m2) & (gx[v] <= 31 + m2)).all()
 
 
 def test_range_config_validation():
