@@ -45,7 +45,8 @@ Endpoints:
   the host at staging time into the
   row axis, one launch per request); optional query params override the
   engine's default config (``threshold``, ``step``, ``variance``,
-  ``limited``, ``lr_maxdiff``, ``no_dupes``, ``corrmap``). Response: npz
+  ``limited``, ``lr_maxdiff``, ``no_dupes``, ``corrmap``,
+  ``disp_range=MIN:MAX`` — the bounded-range extension). Response: npz
   with ``disparity`` (and ``corrmap`` if requested), batch-shaped when the
   input was batched.
 * ``GET /healthz`` — liveness + compiled-specialization count, JSON.
@@ -84,6 +85,7 @@ def _cfg_key(cfg: Config) -> tuple:
         cfg.mode,
         cfg.precision,
         vkey,
+        cfg.disparity_range,
     )
 
 
@@ -217,6 +219,17 @@ def _cfg_from_params(base: Config, params: Dict[str, list],
         cfg = replace(cfg, variant=Consistency(lr, bool(nd)))
     elif nd:
         cfg = replace(cfg, variant=NoDuplicates())
+    dr = one("disp_range", str)
+    if dr is not None:
+        if dr == "":
+            cfg = replace(cfg, disparity_range=None)
+        else:
+            lo, _, hi = dr.partition(":")
+            try:
+                cfg = replace(cfg, disparity_range=(int(lo), int(hi)))
+            except ValueError:
+                raise ValueError(
+                    f"disp_range expects MIN:MAX integers, got {dr!r}")
     if want_corrmap and cfg.nxcorr_threshold is None:
         cfg = replace(cfg, nxcorr_threshold=-1.0)
     return cfg
@@ -369,6 +382,10 @@ def main(argv=None):
     p.add_argument("--limited", action="store_true")
     p.add_argument("-m", "--lr-maxdiff", type=int, default=None)
     p.add_argument("--no-dupes", action="store_true")
+    p.add_argument("--disp-range", default=None, metavar="MIN:MAX",
+                   help="default disparity range for served matches "
+                        "(Config.disparity_range extension; per-request "
+                        "disp_range param overrides)")
     p.add_argument("--backend", default="auto")
     p.add_argument("--max-body-mb", type=int,
                    default=DEFAULT_MAX_BODY >> 20,
@@ -391,12 +408,17 @@ def main(argv=None):
     variant = (Consistency(args.lr_maxdiff, args.no_dupes)
                if args.lr_maxdiff is not None
                else NoDuplicates())
+    drange = None
+    if args.disp_range:
+        lo, _, hi = args.disp_range.partition(":")
+        drange = (int(lo), int(hi))
     cfg = Config(
         nxcorr_threshold=None if args.threshold <= 0 else args.threshold,
         subpixel_step=args.step,
         min_variance=args.variance,
         mode=(TransformMode.LIMITED if args.limited else TransformMode.FULL),
         variant=variant,
+        disparity_range=drange,
     )
     mesh = None
     if args.devices > 1:

@@ -375,3 +375,24 @@ def test_oversized_body_413(capped_server, rng):
     assert status == 200
     out = np.load(io.BytesIO(body))
     assert out["disparity"].shape == (4, 12)
+
+
+def test_disp_range_param(server, rng):
+    """?disp_range=MIN:MAX engages Config.disparity_range per request."""
+    import libbicos_tpu as bicos
+
+    s0, s1 = _stacks(rng)
+    status, body = _post(server[0] + "/match?disp_range=0:8",
+                         _npz(stack0=s0, stack1=s1))
+    assert status == 200
+    out = np.load(io.BytesIO(body))["disparity"]
+    want = np.asarray(bicos.match(
+        s0, s1,
+        bicos.Config(nxcorr_threshold=0.5, min_variance=1.0,
+                     disparity_range=(0, 8)),
+        backend="xla"))
+    np.testing.assert_array_equal(out, want)
+    # malformed -> clean 400
+    status, body = _post(server[0] + "/match?disp_range=zz",
+                         _npz(stack0=s0, stack1=s1))
+    assert status == 400 and b"disp_range" in body
