@@ -41,6 +41,8 @@ def test_bench_prints_one_json_line(mode):
     lines = [ln for ln in out.splitlines() if ln.strip()]
     assert len(lines) == 1, f"stdout must be ONE JSON line, got: {out!r}"
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}, rec
+    # The driver contract requires metric/value/unit/vs_baseline; extra
+    # diagnostic fields (per_call_tunnel_ms) are allowed.
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec), rec
     assert rec["value"] > 0
     assert rec["vs_baseline"] > 0
