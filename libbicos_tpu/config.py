@@ -92,14 +92,24 @@ class Config:
         if self.subpixel_step is not None and self.subpixel_step <= 0:
             raise ValueError("subpixel_step must be positive")
         if self.disparity_range is not None:
+            import operator
+
             dr = self.disparity_range
-            if (len(dr) != 2 or not all(isinstance(v, int) for v in dr)
-                    or dr[0] > dr[1]):
+            try:
+                if len(dr) != 2 or any(isinstance(v, bool) for v in dr):
+                    raise TypeError
+                # operator.index accepts any integral type (numpy ints,
+                # array scalars from arr.min()/max()) and rejects floats.
+                dr = (operator.index(dr[0]), operator.index(dr[1]))
+            except TypeError:
                 raise ValueError(
-                    "disparity_range must be an int (dmin, dmax) with "
-                    f"dmin <= dmax, got {dr!r}")
-            # Normalize to a plain tuple so Config stays hashable/static.
-            object.__setattr__(self, "disparity_range", (dr[0], dr[1]))
+                    "disparity_range must be an integer (dmin, dmax) pair, "
+                    f"got {self.disparity_range!r}") from None
+            if dr[0] > dr[1]:
+                raise ValueError(
+                    f"disparity_range needs dmin <= dmax, got {dr!r}")
+            # Normalize to a plain int tuple so Config stays hashable/static.
+            object.__setattr__(self, "disparity_range", dr)
 
 
 # Invalid disparity sentinels (common.hpp:34-37).

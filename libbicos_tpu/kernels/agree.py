@@ -693,20 +693,26 @@ def _agree_kernel(
             for r in range(ROW_BATCH):
                 nfv = bases_rd[r, wp // chunk]
 
-                def redo(k, _, r=r):
-                    oc = bases_rd[r, (wp // chunk) + 1 + k]
-                    c0 = pl.multiple_of(oc * chunk, chunk)
+                @pl.when(nfv > 0)
+                def _(r=r, nfv=nfv):
+                    # One re-encode per row with any fallback (the loop
+                    # body itself must stay encode-free: bt_scratch is
+                    # loop-invariant for a fixed row).
                     encode_row(r, 0)
-                    d_c = disp_ref[r:r + 1, pl.ds(c0, chunk)]
-                    colv = c0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, chunk), 1)
-                    c1v = jnp.clip(colv - d_c, 0, w - 1)
-                    oh = cidx == c1v
-                    g = gather_dot(oh, bt_scratch[...])
-                    gout_scratch[r, pl.ds(c0, chunk), :] = g
-                    return 0
 
-                jax.lax.fori_loop(0, nfv, redo, 0)
+                    def redo(k, _, r=r):
+                        oc = bases_rd[r, (wp // chunk) + 1 + k]
+                        c0 = pl.multiple_of(oc * chunk, chunk)
+                        d_c = disp_ref[r:r + 1, pl.ds(c0, chunk)]
+                        colv = c0 + jax.lax.broadcasted_iota(
+                            jnp.int32, (1, chunk), 1)
+                        c1v = jnp.clip(colv - d_c, 0, w - 1)
+                        oh = cidx == c1v
+                        g = gather_dot(oh, bt_scratch[...])
+                        gout_scratch[r, pl.ds(c0, chunk), :] = g
+                        return 0
+
+                    jax.lax.fori_loop(0, nfv, redo, 0)
 
     for oc in range(wp // chunk):
         cs = slice(oc * chunk, (oc + 1) * chunk)
@@ -1006,7 +1012,7 @@ def _static_window(chunk: int, wp: int, w: int, drange, subpixel: bool):
                      "window_mode", "drange"),
 )
 def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
-                xs, interpret, bases_mode="host", window_mode="deferred",
+                xs, interpret, bases_mode="host", window_mode="branch",
                 drange=None):
     n, h, w = stack0.shape
     u16_in = stack0.dtype == jnp.uint16
@@ -1015,7 +1021,7 @@ def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
     chunk, wcap = resolve_chunk_wcap(gather, w)
     static_bases = ()
     if drange is not None and gather == "mxu":
-        chunk_s = 256
+        chunk_s = CHUNK or 256  # explicit BICOS_AGREE_CHUNK wins
         wp_s = w + ((-w) % chunk_s)
         sw = _static_window(chunk_s, wp_s, w, drange, bool(xs))
         if sw is not None:

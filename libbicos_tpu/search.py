@@ -423,15 +423,9 @@ def search_stack_nodupes_with_bases(
     n, h, w0 = stack0.shape
     backend = resolve_backend(backend)
     if not fused_stack_search_ok(mode, n, backend, max(w0, stack1.shape[2])):
-        from .descriptor import descriptor_words
-        from .config import actual_bits
-
-        disp = search_words(
-            descriptor_words(stack0, mode, min_words=2),
-            descriptor_words(stack1, mode, min_words=2),
-            actual_bits(n, mode), NoDuplicates(), backend,
-        )
-        return disp, None
+        # Same transform-then-search fallback search_stack applies.
+        return search_stack(
+            stack0, stack1, mode, NoDuplicates(), backend=backend), None
     from .kernels.hamming import row_minima_stack
 
     _, first, last, braw = row_minima_stack(

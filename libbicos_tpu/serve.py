@@ -93,10 +93,17 @@ class Engine:
     """Thread-safe warm-pipeline registry over one device (or mesh)."""
 
     def __init__(self, cfg: Config = Config(), *, backend: str = "auto",
-                 mesh=None):
+                 mesh=None, max_specializations: int = 64):
         self.cfg = cfg
         self.backend = backend
         self.mesh = mesh
+        # Every distinct (shape, dtype, config, corrmap) is a separate
+        # multi-minute TPU compile; config OVERRIDE params (threshold,
+        # disp_range, ...) have effectively unbounded value spaces, so an
+        # unconstrained client could force endless compiles while holding
+        # the device lock. New specializations beyond this cap are
+        # rejected (HTTP 400) instead.
+        self.max_specializations = max_specializations
         self._lock = threading.Lock()
         self._compiled: Dict[tuple, bool] = {}
 
@@ -154,6 +161,12 @@ class Engine:
             batch = s0.shape[0]
         else:
             batch = 0
+        if (key not in self._compiled
+                and len(self._compiled) >= self.max_specializations):
+            raise ValueError(
+                f"specialization limit reached ({self.max_specializations}):"
+                " refusing to compile a new (shape, config) combination —"
+                " raise --max-specializations or reuse warmed configs")
         if batch and self.mesh is None:
             s0, s1 = self._fold(s0), self._fold(s1)
         with self._lock:
@@ -396,6 +409,11 @@ def main(argv=None):
                    default=DEFAULT_READ_TIMEOUT,
                    help="per-connection socket read timeout in seconds "
                         "(default %(default)s)")
+    p.add_argument("--max-specializations", type=int, default=64,
+                   help="reject requests that would compile more than this "
+                        "many distinct (shape, config) pipeline "
+                        "specializations (each is a multi-minute TPU "
+                        "compile; default %(default)s)")
     p.add_argument("--devices", type=int, default=1,
                    help="H-band the pipeline over this many devices")
     p.add_argument("--warmup", action="append", default=[],
@@ -410,8 +428,12 @@ def main(argv=None):
                else NoDuplicates())
     drange = None
     if args.disp_range:
-        lo, _, hi = args.disp_range.partition(":")
-        drange = (int(lo), int(hi))
+        try:
+            lo, _, hi = args.disp_range.partition(":")
+            drange = (int(lo), int(hi))
+        except ValueError:
+            p.error(f"--disp-range expects MIN:MAX integers, "
+                    f"got {args.disp_range!r}")
     cfg = Config(
         nxcorr_threshold=None if args.threshold <= 0 else args.threshold,
         subpixel_step=args.step,
@@ -425,7 +447,8 @@ def main(argv=None):
         from .sharding import make_mesh
 
         mesh = make_mesh(args.devices)
-    engine = Engine(cfg, backend=args.backend, mesh=mesh)
+    engine = Engine(cfg, backend=args.backend, mesh=mesh,
+                    max_specializations=args.max_specializations)
     shapes = [_parse_warmup(s) for s in args.warmup]
     print(f"serving on http://{args.host}:{args.port} "
           f"(warmup: {len(shapes)} shapes)", flush=True)

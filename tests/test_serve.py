@@ -396,3 +396,16 @@ def test_disp_range_param(server, rng):
     status, body = _post(server[0] + "/match?disp_range=zz",
                          _npz(stack0=s0, stack1=s1))
     assert status == 400 and b"disp_range" in body
+
+
+def test_specialization_cap(rng):
+    """New (shape, config) combinations beyond max_specializations are
+    rejected (each is a multi-minute TPU compile; config-override params
+    like disp_range have unbounded value spaces)."""
+    engine = Engine(bicos.Config(nxcorr_threshold=0.5, min_variance=1.0),
+                    backend="xla", max_specializations=1)
+    s0, s1 = _stacks(rng, n=4, h=4, w=12)
+    engine.match(s0, s1)  # first specialization compiles
+    engine.match(s0, s1)  # reuse is fine
+    with pytest.raises(ValueError, match="specialization limit"):
+        engine.match(s0, s1, bicos.Config(nxcorr_threshold=0.7))
