@@ -65,9 +65,12 @@ def main():
     if dr_env:
         lo, _, hi = dr_env.partition(":")
         drange = (int(lo), int(hi))
+    # BICOS_PROBE_STEP: subpixel step ("none" -> integer variant)
+    step_env = os.environ.get("BICOS_PROBE_STEP", "0.1")
+    step = None if step_env == "none" else float(step_env)
     cfg = bicos.Config(
         nxcorr_threshold=0.96,
-        subpixel_step=0.1,
+        subpixel_step=step,
         min_variance=2.0,
         mode=bicos.TransformMode.LIMITED,
         variant=variant,
@@ -271,6 +274,8 @@ def main():
     vtag = "" if vname == "nodupes" else f"_{vname}"
     if drange is not None:
         vtag += f"_dr{drange[0]}_{drange[1]}"
+    if step is None:
+        vtag += "_int"
     print(json.dumps({
         "metric": f"{stage}{vtag}_headline_device_only_H{h}_n{n}_w{w}_ms",
         "value": round(per_iter, 2),
