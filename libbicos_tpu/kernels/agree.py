@@ -774,6 +774,7 @@ def _agree_window_kernel(
     xs: tuple,
     in_mod: int,
     i8e: bool,
+    grange: tuple = (),  # ((g_lo per chunk...), gw) — static group windows
     interpret: bool,
 ):
     """Windowed-gather agree kernel (see the module docstring).
@@ -831,7 +832,20 @@ def _agree_window_kernel(
     # so the per-chunk window offsets q0/q1/q2 slice out relayout-free.
     col1c_t = jnp.transpose(col1c)  # (WP, ROW_BATCH)
 
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (ng, chunk), 0)
+    # Disparity-range mode: per-chunk COMPILE-TIME group windows
+    # (Config.disparity_range): in-range pixels' groups g0 = col1 >> logg
+    # lie in [g_lo[oc], g_lo[oc] + gw) by construction, so the grouped
+    # one-hot contraction only needs a gw-deep slice of the series matrix
+    # — 3-4x fewer MXU flops and a 3-4x smaller one-hot build at
+    # production widths, with zero branches (offsets are literals).
+    # Out-of-window pixels (only ever invalid ones) gather zeros through
+    # an all-false one-hot, masked by ``keep`` downstream — the same
+    # exactness argument as the full-universe dot.
+    if grange:
+        g_los, gw = grange
+    else:
+        g_los, gw = None, ng
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (gw, chunk), 0)
     lloc = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
     kq = lloc & 3  # y0/y1/y2/pad position within a compacted quad
 
@@ -848,10 +862,11 @@ def _agree_window_kernel(
             else:
                 base = c1r
             g0 = base >> logg
-            onehot = gidx == g0  # (NG, CHUNK)
+            g_lo = g_los[oc] if g_los is not None else 0
+            onehot = gidx == (g0 - g_lo)  # (GW, CHUNK)
             acc = None
             for byte in range(nbytes):
-                bt = bt_scratch[byte, r]
+                bt = bt_scratch[byte, r, g_lo:g_lo + gw, :]
                 if i8e:
                     g32 = jax.lax.dot_general(
                         onehot.astype(jnp.int8), bt,
@@ -950,6 +965,38 @@ def _window_series(s1, gsz: int, subpixel: bool, lp: int):
     if pad:
         out = jnp.pad(out, ((0, 0), (0, 0), (0, pad)))
     return out
+
+
+
+def _static_group_window(chunk, wp, w, drange, subpixel, gsz, ng):
+    """Compile-time per-chunk group windows for the grouped (window)
+    gather under a static disparity range, or None when the range is too
+    wide to pay off. Returns ``(g_lo_per_chunk, gw)``: every in-range
+    matched column's group (plus the subpixel col1-1 neighbour) of chunk
+    ``oc`` lies in ``[g_lo[oc], g_lo[oc] + gw)`` (asserted)."""
+    dmin, dmax = drange
+    logg = gsz.bit_length() - 1
+    slack = 1 if subpixel else 0
+    bounds = []
+    span_max = 0
+    for oc in range(wp // chunk):
+        lo_col = max(0, oc * chunk - dmax - slack)
+        hi_col = max(lo_col, min(w - 1, oc * chunk + chunk - 1
+                                 - dmin + slack))
+        g_lo = lo_col >> logg
+        g_hi = hi_col >> logg
+        bounds.append((g_lo, g_hi))
+        span_max = max(span_max, g_hi - g_lo + 1)
+    # +7 covers the sublane align-down of g_lo below; round gw to 8.
+    gw = -(-(span_max + 7) // 8) * 8
+    if gw >= ng:
+        return None
+    g_los = []
+    for g_lo, g_hi in bounds:
+        b = max(0, min(g_lo & ~7, ng - gw))
+        assert b <= g_lo and g_hi <= b + gw - 1, (b, g_lo, g_hi, gw, ng)
+        g_los.append(b)
+    return tuple(g_los), gw
 
 
 def resolve_chunk_wcap(gather: str, w: int):
@@ -1055,11 +1102,17 @@ def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
         cw = (4 if xs else 1) * (128 // lanes)
         clp = max(128, (((lp // 128) * cw + 127) // 128) * 128)
         s1w = _window_series(s1, gsz, bool(xs), lp)
+        grange = ()
+        if drange is not None:
+            sgw = _static_group_window(chunk, wp, w, drange, bool(xs),
+                                       gsz, ng)
+            if sgw is not None:
+                grange = sgw
         kernel = functools.partial(
             _agree_window_kernel,
             n=n, w=w, wp=wp, gsz=gsz, lanes=lanes, chunk=chunk,
             threshold=threshold, minvar=minvar, xs=xs, in_mod=in_mod,
-            i8e=i8e, interpret=interpret,
+            i8e=i8e, grange=grange, interpret=interpret,
         )
         out, corr = pl.pallas_call(
             kernel,
