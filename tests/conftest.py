@@ -66,3 +66,20 @@ def make_stack_pair(rng, n, h, w, dtype=np.uint8, max_disp=None):
     # left[c] == right[c + disp] -> col1 = col0 + disp -> d = -disp.
     # Swap to make d = +disp (left content shifted the other way):
     return np.ascontiguousarray(right), np.ascontiguousarray(left), disp
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound compile-cache memory across the suite.
+
+    Every fresh (shape, config) jit is a new CPU executable; by the last
+    modules the accumulated LLVM/XLA state reached the point where one
+    more big compile SEGFAULTED the process (observed twice at the same
+    suite position, 2026-08-21 — test_sharding passes in isolation). The
+    open-ended fuzz soak clears caches every 50 trials for the same
+    reason (tools/fuzz_soak.py); do it per test module here.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
