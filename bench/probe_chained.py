@@ -77,7 +77,10 @@ def main():
         disparity_range=drange,
     )
 
-    s0, s1, _ = synthetic_stack_pair(n, h, w, dtype=np.uint8)
+    # BICOS_PROBE_DTYPE: u8 (default) | u16
+    dt = np.uint16 if os.environ.get("BICOS_PROBE_DTYPE") == "u16" else \
+        np.uint8
+    s0, s1, _ = synthetic_stack_pair(n, h, w, dtype=dt)
     d0 = jnp.asarray(s0)
     d1 = jnp.asarray(s1)
     jax.block_until_ready((d0, d1))
@@ -232,7 +235,7 @@ def main():
     @jax.jit
     def chained(a, b, r):
         def body(k, acc):
-            kv = (k & 0xFF).astype(jnp.uint8)
+            kv = (k & 0xFF).astype(a.dtype)
             ax = a ^ kv
             bx = b ^ kv if pert_both else b
             return acc + step_fn(ax, bx)
@@ -249,7 +252,7 @@ def main():
     def pert(k):
         if k not in perts:
             # base perturbation is OUTSIDE the loop's k range (k < r2)
-            perts[k] = jax.block_until_ready(d0 ^ np.uint8(128 + k))
+            perts[k] = jax.block_until_ready(d0 ^ dt(128 + k))
         return perts[k]
 
     def run(r):
@@ -277,7 +280,8 @@ def main():
     if step is None:
         vtag += "_int"
     print(json.dumps({
-        "metric": f"{stage}{vtag}_headline_device_only_H{h}_n{n}_w{w}_ms",
+        "metric": (f"{stage}{vtag}_headline_device_only_H{h}_n{n}_w{w}"
+                   + ("_u16" if dt == np.uint16 else "") + "_ms"),
         "value": round(per_iter, 2),
         "fixed_call_overhead_ms": round(overhead, 2),
         "t_r1_ms": round(t_r1, 2), "t_r2_ms": round(t_r2, 2),
