@@ -25,7 +25,7 @@ if command -v curl >/dev/null 2>&1 && curl -fsSL --max-time 10 -o "$ARCHIVE" "$U
     echo "downloaded reference dataset"
 else
     echo "network unavailable; generating synthetic projected-pattern stacks"
-    python - <<'EOF'
+    PYTHONPATH="$(cd .. && pwd)${PYTHONPATH:+:$PYTHONPATH}" python - <<'EOF'
 import os
 import numpy as np
 import cv2

@@ -160,6 +160,9 @@ def config_from_args(args) -> Config:
             raise SystemExit(
                 f"--disp-range expects MIN:MAX integers, got "
                 f"{args.disp_range!r}")
+        if drange[0] > drange[1]:
+            raise SystemExit(
+                f"--disp-range expects MIN <= MAX, got {args.disp_range!r}")
     return Config(
         nxcorr_threshold=threshold,
         subpixel_step=args.step,

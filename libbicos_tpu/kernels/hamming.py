@@ -1197,6 +1197,10 @@ def row_minima_consistency_stack_range(
     w1 = stack1.shape[2]
     nbits = actual_bits(n, mode)
     pack_s, _ = pack_for_width(max(w0, w1))
+    # Same 1<<22 sentinel-headroom guard as row_minima_stack_range.
+    assert nbits * pack_s + pack_s - 1 < 1 << 22, (
+        f"packing overflow: nbits={nbits} pack_s={pack_s} collides with "
+        "the 1<<22 no-candidate sentinel")
     if rows is None:
         rows = CONS_ROWS if pack_s == PACK_S else min(CONS_ROWS, 2)
     tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
@@ -1787,8 +1791,27 @@ def _row_minima_words(
     return cost, first, last
 
 
+def _band_range_penalty(off_delta, i, tile_i: int, j, tile_j: int,
+                        drange: tuple):
+    """(TILE_I, TILE_J) disparity-range penalty for one band-kernel tile.
+
+    ``d = col0_global - col1_global = off_delta + (i*tile_i + ii)
+    - (j*tile_j + jj)`` with ``off_delta = off0 - off1`` (left minus right
+    band offset, a runtime scalar). Branch-free: out-of-range candidates
+    get PAD_PENALTY added, exactly like the pad masks — no control flow,
+    no specialization on the runtime offsets (the r4 Mosaic-pipelining
+    lesson)."""
+    dmin, dmax = drange
+    base = off_delta + i * tile_i - j * tile_j
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+    colv = jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+    d = base + rowv - colv
+    bad = (d < jnp.int32(dmin)) | (d > jnp.int32(dmax))
+    return jnp.where(bad, jnp.float32(PAD_PENALTY), 0.0)
+
+
 def _minima_kernel_band(
-    off_ref,  # SMEM (1,) int32 — global column offset of this right band
+    off_ref,  # SMEM (2,) int32 — [right-band offset, left-band offset]
     w0_ref,  # (RB, TILE_I, nw) uint32 — left-band descriptor words
     w1_ref,  # (RB, BANDPAD, nw) uint32 — right band (the ring payload)
     outf_ref,  # (RB, NI, TILE_I) f32 — packed s*8192 + col_global
@@ -1802,6 +1825,7 @@ def _minima_kernel_band(
     tile_j: int,
     need_last: bool,
     pack_s: int = PACK_S,
+    drange: tuple = (),
 ):
     """W-band variant of :func:`_minima_kernel` for the ``ppermute`` ring
     (``sharding.row_minima_wband``): scans ONE right-descriptor band whose
@@ -1811,7 +1835,11 @@ def _minima_kernel_band(
     staging ``bicos.cuh:77-140``, here spread over chips). Local tile
     padding (local col >= ``band``) and ring padding (global col >=
     ``w1_total``) are penalized out of both reductions; all chunks run
-    masked because the boundary chunk depends on the runtime offset."""
+    masked because the boundary chunk depends on the runtime offset.
+    ``drange=(dmin, dmax)`` additionally penalizes out-of-range candidates
+    (``d = col0_global - col1_global``, Config.disparity_range on the
+    W-banded path): a branch-free per-tile mask — the range's real saving
+    is the whole ring visits the sharding layer statically skips."""
     i = pl.program_id(1)
     off = off_ref[0]
     rb = w0_ref.shape[0]
@@ -1849,6 +1877,9 @@ def _minima_kernel_band(
             pen = (jnp.where(lcol >= band, jnp.float32(PAD_PENALTY), 0.0)
                    + jnp.where(gcol >= w1_total,
                                jnp.float32(PAD_PENALTY), 0.0))
+            if drange:
+                pen = pen + _band_range_penalty(
+                    off_ref[1] - off, i, tile_i, j, tile_j, drange)
             accf = jnp.minimum(accf, dotf + pen)
             if need_last:
                 cvec = (jnp.float32(pack_s - 1)
@@ -1863,13 +1894,14 @@ def _minima_kernel_band(
     jax.jit,
     static_argnames=(
         "nbits", "w1_total", "need_last", "tile_i", "tile_j", "interpret",
-        "rows",
+        "rows", "drange",
     ),
 )
 def row_minima_words_band(
     words0,
     words1_band,
     col_off,
+    col_off0=0,
     *,
     nbits: int,
     w1_total: int,
@@ -1878,6 +1910,7 @@ def row_minima_words_band(
     tile_j: int = DEF_TILE_J,
     interpret: bool = False,
     rows: int = 0,
+    drange=None,
 ):
     """Packed minima of a left column band against ONE right band at global
     column offset ``col_off`` (a traced scalar — one compiled kernel serves
@@ -1916,8 +1949,12 @@ def row_minima_words_band(
         tile_j=tile_j,
         need_last=need_last,
         pack_s=pack_s,
+        drange=tuple(drange) if drange is not None else (),
     )
-    off_arr = jnp.asarray(col_off, jnp.int32).reshape(1)
+    off_arr = jnp.stack([
+        jnp.asarray(col_off, jnp.int32).reshape(()),
+        jnp.asarray(col_off0, jnp.int32).reshape(()),
+    ])
     grid = (hpad // rb, ni)
     mf, ml = pl.pallas_call(
         kernel,
@@ -2082,6 +2119,14 @@ def row_minima_stack_range(
     w1 = stack1.shape[2]
     nbits = actual_bits(n, mode)
     pack_s, _ = pack_for_width(max(w0, w1))
+    # The no-candidate sentinel test below (mf >= 1<<22) needs every real
+    # packing (cost * pack_s + idx <= nbits * pack_s + pack_s - 1) to stay
+    # strictly under it; actual_bits caps at 254 today, which leaves only
+    # ~16k headroom at pack_s=16384 — fail loudly if a future MAX_BITS
+    # change would silently misdecode max-cost pixels as invalid.
+    assert nbits * pack_s + pack_s - 1 < 1 << 22, (
+        f"packing overflow: nbits={nbits} pack_s={pack_s} collides with "
+        "the 1<<22 no-candidate sentinel")
     if rows is None:
         rows = SEARCH_ROWS if pack_s == PACK_S else min(SEARCH_ROWS, 4)
     tile_i, tile_j = _snap_tiles(w0, w1, tile_i, tile_j)
@@ -2169,7 +2214,7 @@ def row_minima_stack_range(
 
 
 def _minima_kernel_band_stack(
-    off_ref,  # (1,) i32 in SMEM — visiting band's global column offset
+    off_ref,  # (2,) i32 in SMEM — [visiting-band offset, left-band offset]
     cx_ref,  # (BPAD, n) bf16 — compare coefficients (X side)
     cy_ref,  # (BPAD, n) bf16 — compare coefficients (Y side)
     s0_ref,  # (RB, n, TILE_I) raw left samples for this tile
@@ -2186,6 +2231,7 @@ def _minima_kernel_band_stack(
     need_last: bool,
     u16: bool,
     pack_s: int = PACK_S,
+    drange: tuple = (),
 ):
     """FUSED transform + W-band scan: the ``ppermute`` ring rotates RAW
     image bands and each visit computes the descriptor bits ON-CHIP from
@@ -2237,6 +2283,9 @@ def _minima_kernel_band_stack(
             pen = (jnp.where(lcol >= band, jnp.float32(PAD_PENALTY), 0.0)
                    + jnp.where(gcol >= w1_total,
                                jnp.float32(PAD_PENALTY), 0.0))
+            if drange:
+                pen = pen + _band_range_penalty(
+                    off_ref[1] - off, i, tile_i, j, tile_j, drange)
             accf = jnp.minimum(accf, dotf + pen)
             if need_last:
                 cvec = (jnp.float32(pack_s - 1)
@@ -2251,13 +2300,14 @@ def _minima_kernel_band_stack(
     jax.jit,
     static_argnames=(
         "mode", "w1_total", "need_last", "tile_i", "tile_j", "interpret",
-        "rows",
+        "rows", "drange",
     ),
 )
 def row_minima_stack_band(
     stack0_band,
     stack1_band,
     col_off,
+    col_off0=0,
     *,
     mode,
     w1_total: int,
@@ -2266,6 +2316,7 @@ def row_minima_stack_band(
     tile_j: int = DEF_TILE_J,
     interpret: bool = False,
     rows: int = 0,
+    drange=None,
 ):
     """Fused transform + band scan from RAW ``(n, H, band)`` stacks (the
     W-band ring's fused engine — see :func:`_minima_kernel_band_stack`).
@@ -2306,8 +2357,12 @@ def row_minima_stack_band(
         need_last=need_last,
         u16=u16,
         pack_s=pack_s,
+        drange=tuple(drange) if drange is not None else (),
     )
-    off_arr = jnp.asarray(col_off, jnp.int32).reshape(1)
+    off_arr = jnp.stack([
+        jnp.asarray(col_off, jnp.int32).reshape(()),
+        jnp.asarray(col_off0, jnp.int32).reshape(()),
+    ])
     cxj = jnp.asarray(cxp, jnp.bfloat16)
     cyj = jnp.asarray(cyp, jnp.bfloat16)
     grid = (hpad // rb, ni)

@@ -172,12 +172,13 @@ def _row_chunk_minima_cols(w0, w1, need_last: bool, pack_k: int,
 
 
 def row_minima_xla(
-    bits0, bits1, need_last: bool, row_chunk: int = 8
+    bits0, bits1, need_last: bool, row_chunk: int = 8, drange=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Bit-plane wrapper over :func:`row_minima_xla_words` (tests/oracle
     surface; the pipeline passes packed words directly)."""
     return row_minima_xla_words(
-        pack_bits(bits0), pack_bits(bits1), need_last, row_chunk
+        pack_bits(bits0), pack_bits(bits1), need_last, row_chunk,
+        drange=drange,
     )
 
 
@@ -457,10 +458,13 @@ def search_stack(
     results.
 
     ``drange``: inclusive (dmin, dmax) disparity-range restriction
-    (``Config.disparity_range``). NoDuplicates on the Pallas backend runs
-    the range-specialized fused kernel (compile-time chunk skipping:
-    O(W * range) instead of O(W^2)); every other combination routes
-    through the masked XLA scan — correct, not fast.
+    (``Config.disparity_range``). On the Pallas backend both variants run
+    range-specialized fused kernels (compile-time chunk skipping:
+    O(W * range) instead of O(W^2)) — ``row_minima_stack_range`` for
+    NoDuplicates, ``row_minima_consistency_stack_range`` for Consistency
+    (± no_dupes). Combinations the fused path can't take (u16 byte-split
+    corner, n<4 LIMITED, non-Pallas backends) route through the masked
+    XLA scan — correct, not fast.
     """
     from .config import actual_bits
     from .descriptor import descriptor_words

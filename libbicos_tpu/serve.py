@@ -161,15 +161,19 @@ class Engine:
             batch = s0.shape[0]
         else:
             batch = 0
-        if (key not in self._compiled
-                and len(self._compiled) >= self.max_specializations):
-            raise ValueError(
-                f"specialization limit reached ({self.max_specializations}):"
-                " refusing to compile a new (shape, config) combination —"
-                " raise --max-specializations or reuse warmed configs")
         if batch and self.mesh is None:
             s0, s1 = self._fold(s0), self._fold(s1)
         with self._lock:
+            # Cap check under the lock: concurrent first-time requests must
+            # not race past the limit and each trigger a multi-minute
+            # compile beyond it.
+            if (key not in self._compiled
+                    and len(self._compiled) >= self.max_specializations):
+                raise ValueError(
+                    f"specialization limit reached "
+                    f"({self.max_specializations}): refusing to compile a "
+                    "new (shape, config) combination — raise "
+                    "--max-specializations or reuse warmed configs")
             out = self._run(s0, s1, cfg, corrmap, batch)
             out = jax.block_until_ready(out)
             self._compiled[key] = True

@@ -225,10 +225,6 @@ def match_sharded_w(
     stack0 = jnp.asarray(stack0)
     stack1 = jnp.asarray(stack1)
     _validate_match_args(stack0, stack1, cfg, corrmap)
-    if cfg.disparity_range is not None:
-        raise ValueError(
-            "disparity_range is not supported on the W-banded path yet; "
-            "use match_sharded (H-banding) or single-chip match")
     n, h, w = stack0.shape
     if w >= PACK_K:
         # The ring reduction packs cost * PACK_K + col, so wider rows would
@@ -271,6 +267,11 @@ def _wband_run(mesh: Mesh, axis_name: str, cfg: Config, backend: str,
     fused = (backend in ("pallas", "pallas_interpret")
              and _search.fused_stack_search_ok(cfg.mode, n, backend, w))
 
+    drange = cfg.disparity_range
+    # Reverse search swaps query/candidate roles, so the range reflects —
+    # same rule as the single-chip decode (search.search_words).
+    drange_rev = None if drange is None else (-drange[1], -drange[0])
+
     def shard_fn(s0_local, s1_local):
         idx = jax.lax.axis_index(axis_name)
         col0 = idx * band + jnp.arange(band, dtype=jnp.int32)[None, :]
@@ -282,25 +283,28 @@ def _wband_run(mesh: Mesh, axis_name: str, cfg: Config, backend: str,
             # transform both disappear.
             first0, last0 = _ring_firstlast_stack(
                 s0_local, s1_local, nodupes, axis_name, ndev, band, w,
-                cfg.mode, backend)
+                cfg.mode, backend, drange=drange)
         else:
             bits0 = _descriptor.descriptor_bits(s0_local, cfg.mode)
             bits1 = _descriptor.descriptor_bits(s1_local, cfg.mode)
             # padded left cols produce garbage rows; masked out at the end.
             _, first0, last0 = _ring_minima(
-                bits0, bits1, nodupes, axis_name, ndev, band, w, backend)
+                bits0, bits1, nodupes, axis_name, ndev, band, w, backend,
+                drange=drange)
         if isinstance(variant, NoDuplicates):
-            valid = first0 == last0
+            # first >= 0 guards the ranged no-candidate sentinel, exactly
+            # as search._finish_nodupes (always true unrestricted).
+            valid = (first0 == last0) & (first0 >= 0)
             disp = col0 - first0
         else:
             if fused:
                 first1, last1 = _ring_firstlast_stack(
                     s1_local, s0_local, nodupes, axis_name, ndev, band, w,
-                    cfg.mode, backend)
+                    cfg.mode, backend, drange=drange_rev)
             else:
                 _, first1, last1 = _ring_minima(
                     bits1, bits0, nodupes, axis_name, ndev, band, w,
-                    backend)
+                    backend, drange=drange_rev)
             # Reverse results live on the band owning each right column;
             # gather them globally for the cross-band lookup at best_col1.
             f1g = jax.lax.all_gather(
@@ -316,7 +320,9 @@ def _wband_run(mesh: Mesh, axis_name: str, cfg: Config, backend: str,
             bc1 = jnp.clip(first0, 0, w - 1)
             rc0 = jnp.take_along_axis(f1g, bc1, axis=1)
             rok = jnp.take_along_axis(rvalid, bc1, axis=1)
-            valid = valid & rok & (
+            # >= 0 guards the ranged no-candidate sentinels (forward and
+            # reverse), exactly as search._finish_consistency_gathered.
+            valid = valid & rok & (first0 >= 0) & (rc0 >= 0) & (
                 jnp.abs(col0 - rc0) <= jnp.int32(variant.max_lr_diff))
             disp = (col0 + rc0) // 2 - first0
         disp = jnp.where(valid, disp, jnp.int32(-32768)).astype(jnp.int16)
@@ -342,8 +348,58 @@ def _wband_run(mesh: Mesh, axis_name: str, cfg: Config, backend: str,
     ))
 
 
+def wband_ring_visits(ndev: int, band: int, drange) -> list:
+    """Contributing ring-visit indices under a static disparity range.
+
+    Visit ``i`` brings chip ``idx`` the right band of ``src = (idx + i) %
+    ndev``, i.e. a relative column offset ``rel = (src - idx) * band`` that
+    is ``i * band`` for non-wrapping chips and ``(i - ndev) * band`` for
+    wrapping ones. With ``d = col0 - col1`` restricted to ``[dmin, dmax]``
+    a visit can contribute only when ``[-rel - (band-1), -rel + band-1]``
+    overlaps the range; visits empty for EVERY chip are provably dead and
+    the ring skips them entirely (the payload jumps them with one composed
+    ``ppermute``). Typical production ranges keep 2 of ``ndev`` visits:
+    the reference's structural analogue is the smem row cache
+    (``bicos.cuh:77-140``) which always scans the full row."""
+    if drange is None:
+        return list(range(ndev))
+    dmin, dmax = int(drange[0]), int(drange[1])
+
+    def overlap(rel):
+        return -rel - (band - 1) <= dmax and -rel + band - 1 >= dmin
+
+    visits = []
+    for i in range(ndev):
+        rels = [i * band] if i == 0 else [i * band, (i - ndev) * band]
+        if any(overlap(r) for r in rels):
+            visits.append(i)
+    return visits
+
+
+def _ring_fold(ndev, axis_name, visits, init, fold_visit, payload):
+    """Shared ring driver: visit every index in ``visits`` (ascending),
+    jumping skipped rotations with one composed ``ppermute`` per gap.
+
+    ``fold_visit(i, carry, cur)`` folds visit ``i``'s kernel result into
+    the carry. With the full visit list this is the plain unrolled ring;
+    with a range-pruned list the payload takes ``len(visits)`` collectives
+    instead of ``ndev``."""
+    pos = 0
+    carry = init
+    cur = payload
+    for i in visits:
+        if i > pos:
+            k = i - pos
+            cur = jax.lax.ppermute(
+                cur, axis_name,
+                perm=[((d + k) % ndev, d) for d in range(ndev)])
+            pos = i
+        carry = fold_visit(i, carry, cur)
+    return carry
+
+
 def _ring_minima_packed(bits0, bits1, need_last, axis_name, ndev, band, w,
-                        backend: str = "xla"):
+                        backend: str = "xla", drange=None, band0=None):
     """Packed-min ring reduction over right-descriptor bands, callable
     inside ``shard_map``. Returns ``(mf, ml)`` int32 in the ``cost * PACK_K
     + col`` packing (``ml`` packs ``cost * PACK_K + (w-1-col)``; zeros when
@@ -362,8 +418,11 @@ def _ring_minima_packed(bits0, bits1, need_last, axis_name, ndev, band, w,
     from .search import PACK_K
 
     h = bits0.shape[0]
+    w0b = bits0.shape[1]
+    band0 = w0b if band0 is None else band0
     idx = jax.lax.axis_index(axis_name)
     perm = [((d + 1) % ndev, d) for d in range(ndev)]
+    visits = wband_ring_visits(ndev, band, drange)
 
     if backend in ("pallas", "pallas_interpret"):
         from .kernels.hamming import pack_for_width
@@ -387,21 +446,30 @@ def _ring_minima_packed(bits0, bits1, need_last, axis_name, ndev, band, w,
         cur0 = _descriptor.pack_bits(bits1)
         interpret = backend == "pallas_interpret"
 
-        def step(i, carry):
-            mf, ml, cur = carry
+        def visit(i, carry, cur):
+            mf, ml = carry
             src = jax.lax.rem(idx + i, ndev)
             mfs, mls = row_minima_words_band(
-                words0, cur, src * band, nbits=nbits, w1_total=w,
-                need_last=need_last, interpret=interpret,
+                words0, cur, src * band, idx * band0, nbits=nbits,
+                w1_total=w, need_last=need_last, interpret=interpret,
+                drange=None if drange is None else tuple(drange),
             )
             mf = jnp.minimum(mf, mfs)
             if need_last:
                 ml = jnp.minimum(ml, mls)
-            nxt = jax.lax.ppermute(cur, axis_name, perm=perm)
-            return mf, ml, nxt
+            return mf, ml
 
-        bigf = jnp.full((h, bits0.shape[1]), jnp.float32(1 << 24))
-        mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (bigf, bigf, cur0))
+        bigf = jnp.full((h, w0b), jnp.float32(1 << 24))
+        if drange is None:
+            def step(i, carry):
+                mf, ml, cur = carry
+                mf, ml = visit(i, (mf, ml), cur)
+                return mf, ml, jax.lax.ppermute(cur, axis_name, perm=perm)
+
+            mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (bigf, bigf, cur0))
+        else:
+            mf, ml = _ring_fold(ndev, axis_name, visits, (bigf, bigf),
+                                visit, cur0)
         # Re-pack the kernel's s*pack_s + col into cost * PACK_K + col so
         # both engines share one decode (s = ham - pop(a), exact f32 ints).
         s = jnp.floor(mf / pack_s)
@@ -415,37 +483,63 @@ def _ring_minima_packed(bits0, bits1, need_last, axis_name, ndev, band, w,
             mlo = jnp.zeros_like(mfo)
         return mfo, mlo
 
-    def step(i, carry):
-        mf, ml, cur = carry
+    def visit(i, carry, cur):
+        mf, ml = carry
         src = jax.lax.rem(idx + i, ndev)
         cost = _band_cost(bits0, cur, backend)
         col = src * band + jnp.arange(band, dtype=jnp.int32)[None, None]
         colg = jnp.broadcast_to(col, cost.shape)
         pen = jnp.where(colg >= w, jnp.int32(1 << 26), jnp.int32(0))
+        if drange is not None:
+            col0g = (idx * band0
+                     + jnp.arange(w0b, dtype=jnp.int32))[None, :, None]
+            d = col0g - colg
+            pen = pen + jnp.where(
+                (d < jnp.int32(drange[0])) | (d > jnp.int32(drange[1])),
+                jnp.int32(1 << 26), jnp.int32(0))
         pf = cost * PACK_K + colg + pen
         mf = jnp.minimum(mf, jnp.min(pf, axis=2))
         if need_last:
             pl_ = cost * PACK_K + (w - 1 - colg) + pen
             ml = jnp.minimum(ml, jnp.min(pl_, axis=2))
-        nxt = jax.lax.ppermute(cur, axis_name, perm=perm)
-        return mf, ml, nxt
+        return mf, ml
 
-    big = jnp.full((h, bits0.shape[1]), jnp.int32(1 << 30))
-    mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (big, big, bits1))
+    big = jnp.full((h, w0b), jnp.int32(1 << 30))
+    if drange is None:
+        def step(i, carry):
+            mf, ml, cur = carry
+            mf, ml = visit(i, (mf, ml), cur)
+            return mf, ml, jax.lax.ppermute(cur, axis_name, perm=perm)
+
+        mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (big, big, bits1))
+    else:
+        mf, ml = _ring_fold(ndev, axis_name, visits, (big, big), visit,
+                            bits1)
     return mf, (ml if need_last else jnp.zeros_like(mf))
 
 
 def _ring_minima(bits0, bits1, need_last, axis_name, ndev, band, w,
-                 backend: str = "xla"):
+                 backend: str = "xla", drange=None, band0=None):
     """Decoded (cost, first, last) ring minima (see
     :func:`_ring_minima_packed`)."""
     mf, ml = _ring_minima_packed(
-        bits0, bits1, need_last, axis_name, ndev, band, w, backend)
-    return _search.decode_packed_minima(mf, ml, w, need_last)
+        bits0, bits1, need_last, axis_name, ndev, band, w, backend,
+        drange=drange, band0=band0)
+    cost, first, last = _search.decode_packed_minima(mf, ml, w, need_last)
+    if drange is not None:
+        # No in-range candidate: only penalties/init survived the ring
+        # fold. Same sentinel contract as the single-chip ranged decode
+        # (search.row_minima_xla_words): -1/-2 are never equal and never a
+        # real column.
+        none = cost > 256
+        first = jnp.where(none, jnp.int32(-1), first)
+        if need_last:
+            last = jnp.where(none, jnp.int32(-2), last)
+    return cost, first, last
 
 
 def _ring_firstlast_stack(s0_local, s1_local, need_last, axis_name, ndev,
-                          band, w, mode, backend):
+                          band, w, mode, backend, drange=None):
     """FUSED transform + ring reduction over RAW image bands.
 
     The ring rotates the raw ``(n, H, band)`` right stack band (for u8
@@ -469,21 +563,34 @@ def _ring_firstlast_stack(s0_local, s1_local, need_last, axis_name, ndev,
     pack_s, _ = pack_for_width(w)
     interpret = backend == "pallas_interpret"
 
-    def step(i, carry):
-        mf, ml, cur = carry
+    def visit(i, carry, cur):
+        mf, ml = carry
         src = jax.lax.rem(idx + i, ndev)
         mfs, mls = row_minima_stack_band(
-            s0_local, cur, src * band, mode=mode, w1_total=w,
+            s0_local, cur, src * band, idx * w0b, mode=mode, w1_total=w,
             need_last=need_last, interpret=interpret,
+            drange=None if drange is None else tuple(drange),
         )
         mf = jnp.minimum(mf, mfs)
         if need_last:
             ml = jnp.minimum(ml, mls)
-        nxt = jax.lax.ppermute(cur, axis_name, perm=perm)
-        return mf, ml, nxt
+        return mf, ml
 
     bigf = jnp.full((h, w0b), jnp.float32(1 << 24))
-    mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (bigf, bigf, s1_local))
+    if drange is None:
+        def step(i, carry):
+            mf, ml, cur = carry
+            mf, ml = visit(i, (mf, ml), cur)
+            return mf, ml, jax.lax.ppermute(cur, axis_name, perm=perm)
+
+        mf, ml, _ = jax.lax.fori_loop(0, ndev, step, (bigf, bigf, s1_local))
+    else:
+        # Static visit pruning: with a bounded range most ring visits are
+        # provably empty for every chip (wband_ring_visits), so the ranged
+        # ring runs len(visits) kernel calls + collectives, not ndev.
+        mf, ml = _ring_fold(
+            ndev, axis_name, wband_ring_visits(ndev, band, drange),
+            (bigf, bigf), visit, s1_local)
     s = jnp.floor(mf / pack_s)
     first = (mf - s * pack_s).astype(jnp.int32)
     if need_last:
@@ -491,6 +598,14 @@ def _ring_firstlast_stack(s0_local, s1_local, need_last, axis_name, ndev,
         last = (pack_s - 1) - (ml - sl * pack_s).astype(jnp.int32)
     else:
         last = None
+    if drange is not None:
+        # No in-range candidate: the ring fold kept only penalized values
+        # (>= PAD_PENALTY) or the init. Same -1/-2 sentinel contract as
+        # the single-chip ranged kernels (row_minima_stack_range).
+        none = mf >= jnp.float32(1 << 22)
+        first = jnp.where(none, jnp.int32(-1), first)
+        if need_last:
+            last = jnp.where(none, jnp.int32(-2), last)
     return first, last
 
 
@@ -533,6 +648,7 @@ def row_minima_wband(
     *,
     mesh: Mesh,
     backend: str = "xla",
+    drange=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """W-banded Hamming-scan minima via a ``ppermute`` ring.
 
@@ -542,7 +658,11 @@ def row_minima_wband(
     every chip holds exact global (cost, first, last) for its band.
 
     Inputs/outputs match :func:`..search.row_minima_xla`, but execution is
-    sharded on the column axis of ``bits0``.
+    sharded on the column axis of ``bits0``. ``drange``: inclusive
+    (dmin, dmax) restriction on ``d = col0 - col1`` — visits that cannot
+    contribute for any chip are statically skipped (wband_ring_visits) and
+    no-candidate pixels decode to the -1/-2 sentinels like the single-chip
+    ranged scan.
     """
     (axis_name,) = mesh.axis_names
     ndev = mesh.devices.size
@@ -553,12 +673,14 @@ def row_minima_wband(
 
     padded0, _ = _pad_rows(bits0, 1, ndev)
     padded1, _ = _pad_rows(bits1, 1, ndev)
+    band0 = padded0.shape[1] // ndev
     band1 = padded1.shape[1] // ndev
 
     def shard_fn(b0, b1):
         # b0: (H, w0/ndev, B) local left band; b1: (H, band1, B) right band.
         return _ring_minima_packed(
-            b0, b1, need_last, axis_name, ndev, band1, w1, backend)
+            b0, b1, need_last, axis_name, ndev, band1, w1, backend,
+            drange=drange, band0=band0)
 
     mf, ml = shard_map(
         shard_fn,
@@ -570,7 +692,13 @@ def row_minima_wband(
 
     mf = mf[:, :w0]
     ml = ml[:, :w0]
-    return _search.decode_packed_minima(mf, ml, w1, need_last)
+    cost, first, last = _search.decode_packed_minima(mf, ml, w1, need_last)
+    if drange is not None:
+        none = cost > 256
+        first = jnp.where(none, jnp.int32(-1), first)
+        if need_last and last is not None:
+            last = jnp.where(none, jnp.int32(-2), last)
+    return cost, first, last
 
 
 def _band_cost(bits0, bits1, backend: str):

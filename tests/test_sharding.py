@@ -153,6 +153,104 @@ def test_match_sharded_w_equals_single(rng, mesh, cfg):
         np.testing.assert_array_equal(got[m], want[m])
 
 
+def test_wband_ring_visits_prunes_exactly():
+    """wband_ring_visits must keep exactly the visits where SOME (chip,
+    col0, col1) pair is in range — brute-forced over real column indices."""
+    from libbicos_tpu.sharding import wband_ring_visits
+
+    for ndev in (2, 3, 4):
+        for band in (4, 7):
+            for drange in [(0, 3), (2, 9), (-5, -1), (0, 0),
+                           (-2, 2), (5, 100), (-100, 100)]:
+                dmin, dmax = drange
+                want = []
+                for i in range(ndev):
+                    hit = False
+                    for idx in range(ndev):
+                        src = (idx + i) % ndev
+                        for c0 in range(idx * band, (idx + 1) * band):
+                            for c1 in range(src * band, (src + 1) * band):
+                                if dmin <= c0 - c1 <= dmax:
+                                    hit = True
+                    if hit:
+                        want.append(i)
+                got = wband_ring_visits(ndev, band, drange)
+                assert got == want, (ndev, band, drange, got, want)
+                # Sanity: tight ranges actually prune (the feature's
+                # point); at ndev=2 every visit is adjacent, nothing to cut.
+                if drange == (0, 3) and band == 7 and ndev >= 3:
+                    assert len(got) < ndev
+    assert wband_ring_visits(4, 8, None) == [0, 1, 2, 3]
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
+@pytest.mark.parametrize("drange", [(0, 15), (3, 20), (-6, 6)])
+def test_wband_ring_ranged_equals_masked_scan(rng, mesh, backend, drange):
+    """Ranged W-band ring minima == the single-chip masked ranged scan,
+    including the -1/-2 no-candidate sentinels."""
+    from conftest import make_stack_pair
+
+    s0, s1, _ = make_stack_pair(rng, 6, 3, 42)
+    b0 = descriptor.descriptor_bits(s0, TransformMode.LIMITED)
+    b1 = descriptor.descriptor_bits(s1, TransformMode.LIMITED)
+    cw, fw, lw = row_minima_wband(b0, b1, True, mesh=mesh, backend=backend,
+                                  drange=drange)
+    c1, f1, l1 = search.row_minima_xla(b0, b1, True, drange=drange)
+    fw, lw = np.asarray(fw), np.asarray(lw)
+    np.testing.assert_array_equal(fw, np.asarray(f1))
+    np.testing.assert_array_equal(lw, np.asarray(l1))
+    # Costs only comparable where a candidate exists (the sentinel branch
+    # leaves engine-specific penalty values in the cost field).
+    m = fw >= 0
+    np.testing.assert_array_equal(np.asarray(cw)[m], np.asarray(c1)[m])
+    if drange[0] > 0:
+        # cols < dmin have no in-range candidate -> sentinel coverage.
+        assert (~m).any(), "range should create no-candidate pixels"
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
+@pytest.mark.parametrize("cfg", [
+    Config(nxcorr_threshold=0.5, min_variance=1.0,
+           disparity_range=(0, 15)),
+    Config(nxcorr_threshold=0.6, subpixel_step=0.1,
+           disparity_range=(2, 17)),
+    Config(nxcorr_threshold=None,
+           variant=Consistency(max_lr_diff=1, no_dupes=True),
+           disparity_range=(0, 12)),
+    Config(nxcorr_threshold=0.5,
+           variant=Consistency(max_lr_diff=2, no_dupes=False),
+           disparity_range=(-6, 9)),
+])
+def test_match_sharded_w_ranged_equals_single(rng, mesh, backend, cfg):
+    """disparity_range composes with W-banding (r5): the ranged ring (with
+    static visit pruning) must equal the single-chip ranged pipeline
+    exactly, for both ring engines."""
+    from conftest import make_stack_pair
+
+    s0, s1, _ = make_stack_pair(rng, 5, 4, 42)
+    want = np.asarray(bicos.match(s0, s1, cfg, backend="xla"))
+    got = np.asarray(match_sharded_w(s0, s1, cfg, mesh=mesh,
+                                     backend=backend))
+    if want.dtype == np.int16:
+        np.testing.assert_array_equal(got, want)
+    else:
+        assert (np.isnan(got) == np.isnan(want)).all()
+        m = ~np.isnan(want)
+        np.testing.assert_array_equal(got[m], want[m])
+
+
+def test_match_sharded_w_ranged_u16(rng, mesh):
+    """u16 input through the ranged fused band-kernel ring."""
+    from conftest import make_stack_pair
+
+    cfg = Config(nxcorr_threshold=0.5, disparity_range=(0, 15))
+    s0, s1, _ = make_stack_pair(rng, 5, 3, 42, dtype=np.uint16)
+    want = np.asarray(bicos.match(s0, s1, cfg, backend="xla"))
+    got = np.asarray(match_sharded_w(s0, s1, cfg, mesh=mesh,
+                                     backend="pallas_interpret"))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sharded_surfaces_validate_like_match(rng, mesh):
     """The sharded entry points must reject bad inputs with the same errors
     match() raises (reference guards cpu.cpp:110-114), not crash inside
