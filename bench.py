@@ -255,8 +255,18 @@ def main():
         # pays the ~GB-scale transposed input copies that capped the batch
         # at 4 (see pipeline.match_batched_folded).
         batch = int(os.environ.get("BICOS_BENCH_BATCH", "8"))
+        # BICOS_BENCH_DRANGE="MIN:MAX" measures the bounded-range
+        # production contract (Config.disparity_range) — the range shrinks
+        # both the search sweep and the agree windows, so ranged batching
+        # is the capacity configuration (docs/DEPLOYMENT.md).
+        dr_env = os.environ.get("BICOS_BENCH_DRANGE", "")
+        drange = None
+        if dr_env:
+            lo_s, _, hi_s = dr_env.partition(":")
+            drange = (int(lo_s), int(hi_s))
         cfg = bicos.Config(nxcorr_threshold=0.9, min_variance=2.0,
-                           mode=bicos.TransformMode.LIMITED)
+                           mode=bicos.TransformMode.LIMITED,
+                           disparity_range=drange)
         b0 = jnp.asarray(np.concatenate([s0] * batch, axis=1))
         b1 = jnp.asarray(np.concatenate([s1] * batch, axis=1))
         jax.block_until_ready(
@@ -284,8 +294,10 @@ def main():
         sps = batch / (med / 1e3)
         print(f"batched times ms: {[f'{t:.1f}' for t in times]}",
               file=sys.stderr)
+        drtag = f"_dr{drange[0]}_{drange[1]}" if drange else ""
         print(json.dumps({
-            "metric": f"batched{batch}_match_n{n}_{w}x{h}_stacks_per_s",
+            "metric": f"batched{batch}_match_n{n}_{w}x{h}{drtag}"
+                      "_stacks_per_s",
             "value": round(sps, 2),
             "unit": "stacks/s",
             "vs_baseline": round(sps / 23.0, 4),  # ~23 stacks/s RTX 4090
@@ -346,16 +358,23 @@ def main():
             t0 = time.perf_counter()
             _ = float(cfn(pert(k), d1, r))
             ts.append((time.perf_counter() - t0) * 1e3)
-        return float(np.median(ts))
+        return ts
 
     for k in range(1, reps + 2):
         pert(k)
-    t_r1, t_r2 = run_chain(2), run_chain(8)
+    ts_r1, ts_r2 = run_chain(2), run_chain(8)
+    t_r1, t_r2 = float(np.median(ts_r1)), float(np.median(ts_r2))
     device_ms = (t_r2 - t_r1) / 6.0
+    # Endpoint stability: the slope is only as trustworthy as its two
+    # endpoint medians. Propagated worst-case uncertainty = the sum of the
+    # endpoints' rep spreads over (R2 - R1); round-over-round deltas inside
+    # this band are noise, not wins (BASELINE.md "uncertainty band").
+    slope_spread = (float(np.ptp(ts_r1)) + float(np.ptp(ts_r2))) / 6.0
 
     med, times = _timeit(lambda k: fn(pert(k), d1), reps)
     valid = float(first[1])
-    print(f"device-only (chained slope): {device_ms:.2f} ms; per-call "
+    print(f"device-only (chained slope): {device_ms:.2f} ms "
+          f"(endpoint spread +-{slope_spread:.2f}); per-call "
           f"times ms: {[f'{t:.1f}' for t in times]}; "
           f"valid-pixel fraction: {valid:.3f}", file=sys.stderr)
     from libbicos_tpu.profiling import device_memory
@@ -372,6 +391,8 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_E2E_MS / device_ms, 4),
         "per_call_tunnel_ms": round(med, 2),
+        "slope_spread_ms": round(slope_spread, 2),
+        "slope_endpoints_ms": {"r1": round(t_r1, 2), "r2": round(t_r2, 2)},
     }))
 
 

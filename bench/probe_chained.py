@@ -268,12 +268,16 @@ def main():
             times.append((time.perf_counter() - t0) * 1e3)
         print(f"R={r} times ms: {[f'{t:.1f}' for t in times]}",
               file=sys.stderr, flush=True)
-        return float(np.median(times))
+        return times
 
-    t_r1 = run(r1)
-    t_r2 = run(r2)
+    ts_r1 = run(r1)
+    ts_r2 = run(r2)
+    t_r1, t_r2 = float(np.median(ts_r1)), float(np.median(ts_r2))
     per_iter = (t_r2 - t_r1) / (r2 - r1)
     overhead = t_r1 - per_iter * r1
+    # Propagated endpoint spread (BASELINE.md "uncertainty band"): deltas
+    # within this band are rep noise, not engine changes.
+    spread = (float(np.ptp(ts_r1)) + float(np.ptp(ts_r2))) / (r2 - r1)
     vtag = "" if vname == "nodupes" else f"_{vname}"
     if drange is not None:
         vtag += f"_dr{drange[0]}_{drange[1]}"
@@ -285,7 +289,7 @@ def main():
         "value": round(per_iter, 2),
         "fixed_call_overhead_ms": round(overhead, 2),
         "t_r1_ms": round(t_r1, 2), "t_r2_ms": round(t_r2, 2),
-        "r1": r1, "r2": r2,
+        "r1": r1, "r2": r2, "slope_spread_ms": round(spread, 2),
     }), flush=True)
 
 

@@ -15,13 +15,17 @@ registers.
 
 Gather strategies (BICOS_AGREE_GATHER):
 
-* ``mxu`` (u8 default via ``auto``): one full-width one-hot contraction
-  ``(WP, CHUNK) x (128, WP)`` per chunk (K = padded image width; the 3n
-  series sections ride the 128 output lanes), shrunk ~5x in practice by
-  the auto dynamic window (``resolve_chunk_wcap``: CHUNK=256 with a
-  640-column window; per-chunk bases from the disparity map, in-kernel
-  full-width fallback keeps bit-exactness). Fastest measured for both u8
-  variants (subpixel 72.2 ms, integer 56.9 at n=33 2200x3300).
+* ``mxu`` (u8-subpixel default via ``auto``): one full-width one-hot
+  contraction ``(WP, CHUNK) x (128, WP)`` per chunk (K = padded image
+  width; the 3n series sections ride the 128 output lanes), on the i8
+  engine by default since r5 (53.9 vs 59.3 ms standalone chained at n=33
+  2200x3300 — the deep K is where i8's K-pairing pays). Under
+  ``Config.disparity_range`` the contraction runs COMPILE-TIME per-chunk
+  static windows instead of full width (no branches, no bases operand —
+  the structure the runtime dynamic window could never reach exactly;
+  see BASELINE.md "The dynamic-window artifact"), and ``auto`` then
+  prefers this path for the integer and u16 variants too (r5: the
+  grouped window gather's extraction cost never shrank with the range).
 * ``window`` (u16 and 42 < n <= 192 default): the gather is restructured as a
   *grouped* one-hot contraction. The wrapper pre-builds a windowed series
   matrix ``s1w[h, g, t*lanes + l] = s1[t, h, G*g + l]`` whose row ``g``
@@ -78,12 +82,19 @@ BLK = 128  # dynamic_gather span
 # Subpixel x-values evaluated per fori iteration (see the sweep loop).
 SWEEP_UNROLL = int(_os.environ.get("BICOS_SWEEP_UNROLL", "3"))
 # MXU engine for the one-hot gather dots. Their contraction is K=WP (the
-# padded image width, e.g. 3328) — deep enough for the int8 MXU path's 2x
-# rate to materialize (unlike the search kernel's K=128 contractions, where
-# int8 pairs nothing along K and measured ~bf16 rate). "i8" stores the
-# series matrix as centered bytes (v - 128, exact to undo post-dot because
-# each one-hot row has exactly one 1); "bf16" is the original engine.
-AGREE_ENGINE = _os.environ.get("BICOS_AGREE_ENGINE", "bf16")
+# padded image width, e.g. 3328) — deep enough for the int8 MXU path's
+# higher rate to materialize (unlike the search kernel's K=128
+# contractions, where int8 pairs nothing along K and measured ~bf16 rate).
+# "i8" stores the series matrix as centered bytes (v - 128, exact to undo
+# post-dot because each one-hot row has exactly one 1); "bf16" is the
+# original engine. "auto" (default since r5): i8 for the full-width /
+# static-window mxu gather, bf16 for the window gather (extraction-bound —
+# its dots are not the limiter). Measured (r5 chained, n=33 2200x3300
+# subpixel): full-width standalone 53.9 i8 vs 59.3 bf16 — NOT the
+# envelope's 1.47x because the stage is max(MXU dots, VPU sweep) and the
+# sweep (~30 ms of reference-exact per-x rounding + serial-fma nxcorr,
+# bit-compat floors) is exposed once the dots shrink.
+AGREE_ENGINE = _os.environ.get("BICOS_AGREE_ENGINE", "auto")
 # Gather strategy (see the module docstring): "auto" picks window ->
 # mxu -> shuffle by eligibility; explicit values force one path.
 AGREE_GATHER = _os.environ.get("BICOS_AGREE_GATHER", "auto")
@@ -97,6 +108,20 @@ AGREE_GROUP = int(_os.environ.get("BICOS_AGREE_GROUP", "0"))
 # Lane budget for the windowed series matrix (bounds the per-chunk gather
 # scratch: ROW_BATCH * CHUNK * LANE_CAP * 4 bytes = ~25 MB at 1536).
 WINDOW_LANE_CAP = 1536
+# One-hot FOLD factor for the full-width mxu gather (r5). The gather's
+# one-hot encode is O(WP x CHUNK) VPU compares+casts per chunk — ~26 ms a
+# frame at 3300x2200, comparable to the dots themselves and imperfectly
+# overlapped. Folding pairs F strided column blocks (q, q + WP/F, ...)
+# into one one-hot row: the one-hot shrinks to (WP/F, CHUNK) (encode
+# divided by F), the series matrix becomes (128*F, WP/F) — F CONTIGUOUS
+# lane slices stacked on sublanes, no deinterleave — and the dot keeps an
+# IDENTICAL MAC count (K/F by N*F); an (F-1)-select epilogue picks each
+# pixel's block from the (CHUNK, 128*F) output. Exact for every engine:
+# each folded one-hot row still holds exactly one 1 per pixel. F must
+# divide WP (always: WP is a CHUNK multiple); K padding makes F=2 free at
+# production widths (1664 = 13x128) while F=4 pads K 832->896 (+8% MXU).
+# 0 = auto (F=2 for the full-width path; 1 elsewhere).
+AGREE_FOLD = int(_os.environ.get("BICOS_AGREE_FOLD", "0"))
 # Dynamic gather window (columns) for the full-width mxu gather: within one
 # (row, CHUNK) chunk the matched columns col1 = col - d span at most
 # CHUNK + local-disparity-range columns, so the one-hot contraction only
@@ -190,6 +215,9 @@ def _resolve_gather(n: int, subpixel: bool, u16: bool = False):
       integer at G=8).
     """
     group = AGREE_GROUP or 8
+    # mxu section budget: subpixel needs the 3n y0/y1/y2 sections in the
+    # 128 dot lanes; the integer variant only the n raw-series sections.
+    sec_ok = (3 * n <= 128) if subpixel else (n <= 128)
     forced = AGREE_GATHER
     if forced == "shuffle":
         return "shuffle", group
@@ -200,17 +228,28 @@ def _resolve_gather(n: int, subpixel: bool, u16: bool = False):
                 f"(group={group})")
         return "window", group
     if forced == "mxu":
-        return ("mxu" if 3 * n <= 128 else "shuffle"), group
-    # auto (see the measurements above): the integer variant and u16
-    # always prefer the window gather; subpixel u8 prefers it only while
-    # the window dot fits ONE 128-lane slice (n * lanes <= 128 — measured
+        return ("mxu" if sec_ok else "shuffle"), group
+    # auto (see the measurements above): u16 always prefers the window
+    # gather (its byte-split full-width mxu scratch fails TPU compilation
+    # at production widths). Integer u8: since the r5 one-hot fold the
+    # full-width mxu gather wins at large n (47.4 vs 57.45 chained at
+    # n=33) — its dot cost is n-independent while the window extraction
+    # scales with n lanes; the window still wins at small n (n=16: ~35
+    # device-class vs mxu's flat ~47), crossover placed at n=24 (no
+    # measurement between 16 and 33). Subpixel u8 prefers the window only
+    # while its dot fits ONE 128-lane slice (n * lanes <= 128 — measured
     # n=8: 51.7 vs 60.1), then full-width mxu until the section budget.
-    if (u16 or not subpixel) and _window_ok(n, subpixel, group):
+    if u16 and _window_ok(n, subpixel, group):
         return "window", group
+    if not u16 and not subpixel:
+        if n > 24 and sec_ok:
+            return "mxu", group
+        if _window_ok(n, subpixel, group):
+            return "window", group
     lanes = (2 * group) if subpixel else group
     if n * lanes <= 128 and _window_ok(n, subpixel, group):
         return "window", group
-    if not u16 and 3 * n <= 128:
+    if not u16 and sec_ok:
         return "mxu", group
     if _window_ok(n, subpixel, group):
         return "window", group
@@ -468,6 +507,7 @@ def _agree_kernel(
     inkernel_bases: bool = False,
     deferred: bool = False,  # branchless windowed dots + deferred repair
     static_bases: tuple = (),  # per-chunk COMPILE-TIME window bases
+    fold: int = 1,  # one-hot fold factor (full-width path only)
     interpret: bool = False,
 ):
     nblk = wp // BLK
@@ -532,9 +572,14 @@ def _agree_kernel(
         o1, o2 = (n8, 2 * n8) if (xs and 2 * n8 + n <= 128) else (n, 2 * n)
         # Unwritten rows' dot outputs are never read — zero once per step.
         bt_scratch[...] = jnp.zeros(bt_scratch.shape, bt_scratch.dtype)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, chunk), 0)
+        assert fold == 1 or (not wcap and not static_bases and not u16)
+        wq = wp // fold
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (wq, chunk), 0)
         widx = (jax.lax.broadcasted_iota(jnp.int32, (wcap, chunk), 0)
                 if wcap else None)
+        # Folded-block index per pixel, sublane-major for the output-side
+        # select (mirrors the window kernel's transposed col1c).
+        col1c_t = jnp.transpose(col1c) if fold > 1 else None  # (WP, RB)
 
         def gather_dot(onehot_b, rhs):
             # Exact for every engine: each one-hot column holds at most one
@@ -583,14 +628,20 @@ def _agree_kernel(
                 rows32 = rows32 >> 8
             elif u16:
                 rows32 = rows32 & jnp.int32(0xFF)
-            bt_scratch[0:n, :] = cv(rows32)
+            # 32-bit lane rotates (narrow rotates don't lower);
+            # roll needs non-negative shifts: wp-1 == -1. Rolls run on the
+            # FULL row before any fold slicing, so folded sections still
+            # hold the true col-1/col+1 neighbours at block edges.
+            secs = [rows32]
             if xs:
-                # 32-bit lane rotates (narrow rotates don't lower);
-                # roll needs non-negative shifts: wp-1 == -1.
-                bt_scratch[o1:o1 + n, :] = cv(
-                    pltpu.roll(rows32, 1, axis=1))
-                bt_scratch[o2:o2 + n, :] = cv(
-                    pltpu.roll(rows32, wp - 1, axis=1))
+                secs += [pltpu.roll(rows32, 1, axis=1),
+                         pltpu.roll(rows32, wp - 1, axis=1)]
+            offs = [0, o1, o2]
+            for f in range(fold):
+                ls = slice(f * wq, (f + 1) * wq)
+                for sec, off in zip(secs, offs):
+                    b0 = 128 * f + off
+                    bt_scratch[b0:b0 + n, :] = cv(sec[:, ls])
 
         for byte in range(2 if u16 else 1):
             for r in range(ROW_BATCH):
@@ -674,6 +725,25 @@ def _agree_kernel(
                             oh = cidx == col1c[r:r + 1, cs]
                             g = gather_dot(oh, bt_scratch[...])
                             store_g(r, cs, g, byte)
+                    elif fold > 1:
+                        # Folded full-width gather: one one-hot row indexes
+                        # F strided column blocks at once (q = col1 mod-ish
+                        # within its block); the dot returns every block's
+                        # candidate and the select keeps the pixel's own.
+                        c1 = col1c[r:r + 1, cs]
+                        blk = (c1 >= wq).astype(jnp.int32)
+                        for f in range(2, fold):
+                            blk = blk + (c1 >= f * wq).astype(jnp.int32)
+                        q = c1 - blk * wq
+                        g = gather_dot(cidx == q, bt_scratch[...])
+                        c1t = col1c_t[cs, r:r + 1]  # (CHUNK, 1)
+                        sel = g[:, 0:128]
+                        for f in range(1, fold):
+                            inf = ((c1t >= f * wq)
+                                   & (c1t < (f + 1) * wq))
+                            sel = jnp.where(
+                                inf, g[:, 128 * f:128 * (f + 1)], sel)
+                        store_g(r, cs, sel, byte)
                     else:
                         oh = cidx == col1c[r:r + 1, cs]
                         g = gather_dot(oh, bt_scratch[...])
@@ -1065,6 +1135,22 @@ def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
     u16_in = stack0.dtype == jnp.uint16
     in_mod = 0xFFFF if u16_in else 0xFF
     gather, group = _resolve_gather(n, bool(xs), u16_in)
+    if drange is not None and AGREE_GATHER == "auto" and gather == "window":
+        # Ranged upgrade (r5, VERDICT r4 task 4): with a static disparity
+        # range the mxu gather runs compile-time per-chunk windows — zero
+        # branches, dots ~3x smaller than full width and on the i8 engine
+        # — which beats the extraction-bound window gather for the integer
+        # and u16 variants too (their per-vreg take_along_axis cost never
+        # shrank with the range; BASELINE.md:53's named headroom). Gate on
+        # the mxu section budget (3n subpixel / n integer output sections
+        # must fit the 128 dot lanes) and on the window actually paying.
+        sections_ok = (3 * n <= 128) if xs else (n <= 128)
+        chunk_s = CHUNK or 256
+        wp_s = w + ((-w) % chunk_s)
+        if (sections_ok
+                and _static_window(chunk_s, wp_s, w, drange, bool(xs))
+                is not None):
+            gather = "mxu"
     chunk, wcap = resolve_chunk_wcap(gather, w)
     static_bases = ()
     if drange is not None and gather == "mxu":
@@ -1090,7 +1176,8 @@ def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
     xs_arr = jnp.asarray(
         list(xs) + [0.0] * (xspad - len(xs)), dtype=jnp.float32
     ).reshape(1, xspad)
-    i8e = AGREE_ENGINE == "i8"
+    i8e = (AGREE_ENGINE == "i8"
+           or (AGREE_ENGINE == "auto" and gather == "mxu"))
     b_dtype = jnp.int8 if i8e else jnp.bfloat16
 
     if gather == "window":
@@ -1185,6 +1272,14 @@ def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
     deferred = (window_mode == "deferred" and bool(wcap) and mxu_gather
                 and stack0.dtype != jnp.uint16 and not inkernel
                 and not static_bases)
+    # One-hot fold (full-width dots only — windowed/static paths slice the
+    # series matrix in the ORIGINAL column space, and u16 keeps the
+    # unfolded layout its byte loop was validated on).
+    fold = 1
+    if (mxu_gather and not wcap and not static_bases and not u16_in):
+        f = AGREE_FOLD or 2
+        if f in (2, 4) and wp % f == 0 and wp // f >= 256:
+            fold = f
     if deferred:
         # Augment the bases operand with the compacted fallback-chunk list
         # the in-kernel repair loop walks: lane nc = count, lanes
@@ -1199,12 +1294,12 @@ def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
         n=n, w=w, wp=wp, wcap=wcap, chunk=chunk,
         threshold=threshold, minvar=minvar, xs=xs, in_mod=in_mod,
         mxu_gather=mxu_gather, inkernel_bases=inkernel,
-        deferred=deferred, static_bases=static_bases,
+        deferred=deferred, static_bases=static_bases, fold=fold,
         interpret=interpret,
     )
     ncp = ((nc + 127) // 128) * 128
     scratch = [
-        pltpu.VMEM((128, wp), b_dtype),
+        pltpu.VMEM((128 * fold, wp // fold), b_dtype),
         pltpu.VMEM((ROW_BATCH, wp, 128), jnp.float32),
     ]
     if inkernel:

@@ -94,6 +94,25 @@ def test_range_full_pipeline_kernel_vs_xla(rng, step, variant):
         np.testing.assert_array_equal(gx, gp)
 
 
+@pytest.mark.parametrize("step", [None, 0.25])
+def test_range_u16_mxu_gather_kernel_vs_xla(rng, step):
+    """u16 + range (r5): the ranged upgrade routes u16 agree through the
+    static-window mxu gather (byte-split compile-time-window dots) instead
+    of the extraction-bound window gather; must match XLA bit-for-bit for
+    both the integer and subpixel variants."""
+    s0, s1, _ = synthetic_stack_pair(12, 12, 700, dtype=np.uint16, seed=13)
+    cfg = Config(nxcorr_threshold=0.5, subpixel_step=step, min_variance=1.0,
+                 disparity_range=(0, 63))
+    gx = np.asarray(bicos.match(s0, s1, cfg, backend="xla"))
+    gp = np.asarray(bicos.match(s0, s1, cfg, backend="pallas_interpret"))
+    if gx.dtype.kind == "f":
+        np.testing.assert_array_equal(np.isnan(gx), np.isnan(gp))
+        m = ~np.isnan(gx)
+        np.testing.assert_array_equal(gx[m], gp[m])
+    else:
+        np.testing.assert_array_equal(gx, gp)
+
+
 @pytest.mark.parametrize("no_dupes", [True, False])
 @pytest.mark.parametrize("mld", [1, 3])
 def test_range_consistency_variant(rng, no_dupes, mld):
@@ -122,13 +141,19 @@ def test_range_config_validation():
     assert Config(disparity_range=(0, 64)).disparity_range == (0, 64)
 
 
-def test_range_wband_rejected(rng):
+def test_range_wband_matches_single_chip(rng):
+    """Ranged W-banding (supported since r5; the former rejection is gone)
+    must equal the single-chip ranged scan — the full equality matrix
+    (both ring engines, u8/u16, negative ranges) lives in
+    tests/test_sharding.py."""
     from libbicos_tpu.sharding import make_mesh, match_sharded_w
 
     s0, s1, _ = synthetic_stack_pair(5, 8, 32, dtype=np.uint8, seed=1)
-    with pytest.raises(ValueError, match="disparity_range"):
-        match_sharded_w(
-            s0, s1, Config(disparity_range=(0, 8)), mesh=make_mesh(2))
+    cfg = Config(nxcorr_threshold=0.5, disparity_range=(0, 8))
+    ref = np.asarray(bicos.match(s0, s1, cfg, backend="xla"))
+    got = np.asarray(match_sharded_w(
+        s0, s1, cfg, mesh=make_mesh(2), backend="xla"))
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_range_hband_matches_single_chip(rng):

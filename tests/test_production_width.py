@@ -205,6 +205,43 @@ def test_window_gather_production_width(rng):
     np.testing.assert_array_equal(got_i16, want_d)
 
 
+def test_integer_mxu_fold_production_width(rng):
+    """The r5 large-n integer default (full-width mxu gather, i8 engine,
+    one-hot fold F=2) across many chunks at production width — n=26 > the
+    n=24 window/mxu crossover, so auto resolves to the folded mxu path."""
+    from conftest import make_stack_pair
+    from libbicos_tpu.kernels import agree as kagree
+
+    assert kagree._resolve_gather(26, False, False)[0] == "mxu"
+    w = 1424
+    s0, s1, _ = make_stack_pair(rng, 26, H, w)
+    d = _wide_disp(H, w, rng)
+    got_d, _ = agree_pallas(d, s0, s1, 0.3, None, None, interpret=True)
+    want_d, _ = oracle.agree(d.copy(), s0, s1, 0.3, None)
+    out = np.asarray(got_d)
+    got_i16 = np.where(np.isnan(out), np.int16(-32768),
+                       np.nan_to_num(out).astype(np.int16))
+    np.testing.assert_array_equal(got_i16, want_d)
+
+
+def test_subpixel_fold4_production_width(rng, monkeypatch):
+    """BICOS_AGREE_FOLD=4 (the +8%-MXU bracketing point) must stay
+    bit-exact at a width whose quarter pads the folded K (1424/4 = 356 ->
+    padded)."""
+    from libbicos_tpu.kernels import agree as kagree
+
+    monkeypatch.setattr(kagree, "AGREE_FOLD", 4)
+    from conftest import make_stack_pair
+
+    w = 1424
+    s0, s1, _ = make_stack_pair(rng, 5, H, w)
+    d = _wide_disp(H, w, rng)
+    got_d, got_c = agree_pallas(d, s0, s1, 0.3, 0.5, None, interpret=True)
+    want_d, want_c = oracle.agree_subpixel(
+        d.copy(), s0, s1, 0.3, 0.5, None, np.uint8)
+    _check_subpixel(got_d, got_c, want_d, want_c)
+
+
 def test_fused_search_production_width(rng):
     """Fused transform+search (Pallas, interpret) at W=1408 — many column
     chunks plus the peeled masked tail — against the oracle-pinned XLA

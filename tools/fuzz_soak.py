@@ -12,7 +12,10 @@ full context, then continues (set BICOS_FUZZ_FAILFAST=1 to stop).
 Usage: python tools/fuzz_soak.py [--trials N] [--seed S] [--modes m1,m2]
 Modes: xla (oracle vs XLA), interp (oracle vs pallas_interpret),
 shard (single-chip XLA vs match_sharded/match_sharded_w on an 8-device
-virtual mesh). Default: all.
+virtual mesh), batched, rangedwide (production-width ranged configs,
+XLA vs pallas_interpret bit-exact — the only mode wide enough to engage
+the static-window mxu gather and the ranged fused kernels; slower per
+trial, run it with --modes rangedwide). Default: xla,interp,shard,batched.
 """
 
 import argparse
@@ -216,10 +219,48 @@ def run_trial(fz, mode_name):
     ref = bicos.match(s0, s1, cfg, backend="xla")
     got_h = match_sharded(s0, s1, cfg, mesh=mesh, backend="xla")
     cmp_disp(got_h, ref, None, ctx + " [H-band]")
-    if cfg.disparity_range is None:  # W-banding does not support ranges
-        got_w = match_sharded_w(s0, s1, cfg, mesh=mesh, backend="xla")
-        cmp_disp(got_w, ref, None, ctx + " [W-band]")
+    # Ranged W-banding is supported since r5 (ranged ppermute ring with
+    # static visit pruning) — soak it like every other config.
+    got_w = match_sharded_w(s0, s1, cfg, mesh=mesh, backend="xla")
+    cmp_disp(got_w, ref, None, ctx + " [W-band]")
     return ctx + f" mesh={len(mesh.devices.flat)}"
+
+
+def run_trial_rw(fz):
+    """Production-width ranged trial (r5): the static-window mxu gather
+    (u8 integer/subpixel, u16 byte-split) and the ranged fused
+    search/consistency kernels only ENGAGE at widths where a static
+    window is narrower than the padded row (w >~ 560 for the ranges drawn
+    here) — the small-shape modes never trip them. XLA-vs-interpret must
+    be BIT-EXACT: both implement the same range semantics, so no near-tie
+    policy applies."""
+    full = bool(fz.integers(2))
+    mode = bicos.TransformMode.FULL if full else bicos.TransformMode.LIMITED
+    n = int(fz.integers(4, 9 if full else 13))
+    step = float(fz.choice([0.5, 0.25])) if fz.integers(2) else None
+    lo = int(fz.integers(-40, 40))
+    drange = (lo, lo + int(fz.integers(16, 280)))
+    if fz.integers(2):
+        variant = bicos.Consistency(max_lr_diff=int(fz.integers(1, 4)),
+                                    no_dupes=bool(fz.integers(2)))
+    else:
+        variant = bicos.NoDuplicates()
+    cfg = bicos.Config(
+        nxcorr_threshold=float(fz.uniform(0.1, 0.9)),
+        subpixel_step=step,
+        min_variance=(float(fz.uniform(0.0, 3.0))
+                      if fz.integers(2) else None),
+        mode=mode, variant=variant, disparity_range=drange)
+    dtype = np.uint16 if fz.integers(3) == 0 else np.uint8
+    h, w = 8, int(fz.integers(560, 900))
+    s0, s1 = make_pair(fz, n, h, w, dtype)
+    ctx = f"mode=rangedwide cfg={cfg} n={n} {h}x{w} {dtype.__name__}"
+    gx_d, gx_c = bicos.match(s0, s1, cfg, corrmap=True, backend="xla")
+    gp_d, gp_c = bicos.match(s0, s1, cfg, corrmap=True,
+                             backend="pallas_interpret")
+    cmp_disp(gp_d, gx_d, None, ctx)  # exact, incl. float subpixel
+    np.testing.assert_array_equal(np.asarray(gp_c), np.asarray(gx_c), ctx)
+    return ctx
 
 
 def main():
@@ -238,7 +279,8 @@ def main():
     while args.trials == 0 or t < args.trials:
         mode_name = modes[t % len(modes)]
         try:
-            ctx = run_trial(fz, mode_name)
+            ctx = (run_trial_rw(fz) if mode_name == "rangedwide"
+                   else run_trial(fz, mode_name))
             if t % 10 == 0:
                 print(f"[{t}] ok ({time.time() - t0:.0f}s) {ctx}",
                       flush=True)
