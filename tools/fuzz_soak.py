@@ -54,8 +54,11 @@ from libbicos_tpu import _oracle as oracle  # noqa: E402
 def draw_cfg(fz, *, small: bool, allow_range: bool = False):
     mode = (bicos.TransformMode.FULL if fz.integers(2)
             else bicos.TransformMode.LIMITED)
+    # LIMITED xla trials reach n=30: past the r5 integer window->mxu
+    # crossover (n > 24) so the folded integer mxu path gets soak
+    # coverage beyond its dedicated production-width test.
     n_hi = (8 if small else 10) if mode == bicos.TransformMode.FULL else (
-        12 if small else 20)
+        12 if small else 31)
     n = int(fz.integers(3, n_hi))
     threshold = (None if fz.integers(3) == 0
                  else float(fz.uniform(0.1, 0.95)))
