@@ -125,11 +125,30 @@ def test_pipeline_pallas_agree_integration(rng):
 
 
 def test_agree_kernel_window_large_n_auto(rng):
-    """n > 42 exceeds the full-width one-hot's section budget; auto now
-    lands on the windowed gather there (far cheaper than shuffle)."""
+    """u16 integer lands on the windowed gather at every n (its byte-split
+    mxu scratch fails TPU compilation at production FULL widths); since r5
+    the u8 integer auto path goes mxu above n=24, so the window parity at
+    large n is exercised through u16 here."""
     from libbicos_tpu.kernels.agree import _resolve_gather
 
-    assert _resolve_gather(44, False)[0] == "window"
+    assert _resolve_gather(44, False, u16=True)[0] == "window"
+    s0, s1, disp = _disp_for(rng, 44, 3, 24, dtype=np.uint16)
+    out, corr = agree_pallas(disp, s0, s1, 0.5, None, None, interpret=True)
+    want_d, want_c = oracle.agree(disp.copy(), s0, s1, 0.5, None)
+    out = np.asarray(out)
+    got_i16 = np.where(np.isnan(out), np.int16(-32768),
+                       np.nan_to_num(out).astype(np.int16))
+    np.testing.assert_array_equal(got_i16, want_d)
+    _assert_corr_close(corr, want_c)
+
+
+def test_agree_kernel_integer_mxu_large_n(rng):
+    """u8 integer at n=44 (> the r5 n=24 crossover, beyond the old 3n<=128
+    subpixel budget) resolves to the folded mxu gather; parity must hold
+    with 44 section rows in the 128 dot lanes."""
+    from libbicos_tpu.kernels.agree import _resolve_gather
+
+    assert _resolve_gather(44, False)[0] == "mxu"
     s0, s1, disp = _disp_for(rng, 44, 3, 24)
     out, corr = agree_pallas(disp, s0, s1, 0.5, None, None, interpret=True)
     want_d, want_c = oracle.agree(disp.copy(), s0, s1, 0.5, None)
@@ -304,9 +323,12 @@ def test_agree_gather_resolution():
     from libbicos_tpu.kernels.agree import _resolve_gather
 
     assert _resolve_gather(33, True)[0] == "mxu"
-    # integer prefers window at every measured n (62.9 vs full-width
-    # mxu's 70.1 at n=33; 42.4 vs ~56 at n=8 — 2026-08-20)
-    assert _resolve_gather(33, False)[0] == "window"
+    # integer: the window gather wins at small n (42.4 vs ~56 at n=8,
+    # 2026-08-20) but since r5 the folded-i8 mxu gather wins at large n
+    # (47.4 vs 57.45 chained at n=33) — crossover at n=24.
+    assert _resolve_gather(33, False)[0] == "mxu"
+    assert _resolve_gather(25, False)[0] == "mxu"
+    assert _resolve_gather(24, False)[0] == "window"
     assert _resolve_gather(16, False)[0] == "window"
     assert _resolve_gather(8, False)[0] == "window"
     assert _resolve_gather(8, True)[0] == "window"  # 8*16 lanes = 1 slice
@@ -319,8 +341,13 @@ def test_agree_gather_resolution():
     # Past the mxu section budget (n > 42) the windowed gather still fits
     # its lane cap for a while — far cheaper than the shuffle fallback.
     assert _resolve_gather(44, True)[0] == "window"
-    assert _resolve_gather(44, False)[0] == "window"
-    assert _resolve_gather(90, False)[0] == "window"
+    # integer u8 n <= 128 now fits the mxu section budget (only the n raw
+    # sections ride the 128 dot lanes); past it the window takes over.
+    assert _resolve_gather(44, False)[0] == "mxu"
+    assert _resolve_gather(90, False)[0] == "mxu"
+    assert _resolve_gather(140, False)[0] == "window"
+    assert _resolve_gather(44, False, u16=True)[0] == "window"
+    assert _resolve_gather(90, False, u16=True)[0] == "window"
     # Far past every budget: shuffle (subpixel window caps at n=96 for G=8).
     assert _resolve_gather(120, True)[0] == "shuffle"
 
