@@ -109,7 +109,12 @@ def main():
             backend=S.resolve_backend("auto")))
 
         def step_fn(ax, b):
-            out, _ = agree_pallas(disp_fixed, ax, b, 0.96, 0.1, 66.0)
+            # step comes from BICOS_PROBE_STEP (None = integer variant).
+            # Until r5 this hard-coded 0.1 — every "integer" stage=agree
+            # row before 2026-08-21 actually measured the SUBPIXEL kernel
+            # (the metric name's _int tag came from cfg, not from what
+            # ran); see the results_v5e.jsonl correction row.
+            out, _ = agree_pallas(disp_fixed, ax, b, 0.96, step, 66.0)
             return jnp.nan_to_num(out[0, :128]).sum()
     elif stage == "bases":
         # Just the disp-dependent pre-kernel glue of the agree wrapper:

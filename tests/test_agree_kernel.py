@@ -324,8 +324,9 @@ def test_agree_gather_resolution():
 
     assert _resolve_gather(33, True)[0] == "mxu"
     # integer: the window gather wins at small n (42.4 vs ~56 at n=8,
-    # 2026-08-20) but since r5 the folded-i8 mxu gather wins at large n
-    # (47.4 vs 57.45 chained at n=33) — crossover at n=24.
+    # 2026-08-20) but since r5 the folded-i8 mxu gather edges it at large n
+    # (TRUE integer kernel 30.2 vs 31.2 chained at n=33; e2e-neutral) —
+    # crossover at n=24.
     assert _resolve_gather(33, False)[0] == "mxu"
     assert _resolve_gather(25, False)[0] == "mxu"
     assert _resolve_gather(24, False)[0] == "window"
