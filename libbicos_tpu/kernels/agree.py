@@ -1274,12 +1274,17 @@ def _agree_call(disp, stack0, stack1, ext_bases=None, *, threshold, minvar,
                 and not static_bases)
     # One-hot fold (full-width dots only — windowed/static paths slice the
     # series matrix in the ORIGINAL column space, and u16 keeps the
-    # unfolded layout its byte loop was validated on).
+    # unfolded layout its byte loop was validated on). Auto ladder 4 -> 2
+    # -> off: F=4 measured 107.4 vs F=2's 110.8 chained e2e at the
+    # headline shape (r5; its folded K pads 832->896, +8% MXU, but the
+    # halved encode wins more), and narrow widths where wp/4 < 256 fall
+    # back to F=2 rather than unfolded.
     fold = 1
     if (mxu_gather and not wcap and not static_bases and not u16_in):
-        f = AGREE_FOLD or 2
-        if f in (2, 4) and wp % f == 0 and wp // f >= 256:
-            fold = f
+        for f in ([AGREE_FOLD] if AGREE_FOLD else [4, 2]):
+            if f in (2, 4) and wp % f == 0 and wp // f >= 256:
+                fold = f
+                break
     if deferred:
         # Augment the bases operand with the compacted fallback-chunk list
         # the in-kernel repair loop walks: lane nc = count, lanes
